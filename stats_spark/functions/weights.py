@@ -1,0 +1,79 @@
+"""Glicko-based battle weighting.
+
+Numpy ports of the reference's weighting math:
+  - ``weighting(r, rd, cutoff)`` — erf CDF of the rating above the
+    cutoff; 0 when rd > 100 at cutoffs above 1500
+    (`/root/reference/stats/src/util.ts:416-419`).
+  - ``victory_chance`` — Glicko-1 expected score
+    (`/root/reference/stats/src/util.ts:410-414`).
+  - default ratings for unrated / outcome-only players
+    (`/root/reference/stats/src/stats.ts:245-258`).
+
+Exposed both as numpy functions (used inside vectorized pandas UDFs)
+and as a `pandas_udf` column function for DataFrame plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from stats_spark.functions.erf import erf
+
+SQRT2 = np.sqrt(2.0)
+
+# outcome-adjusted default ratings for unrated players (stats.ts:252-256)
+DEFAULT_RPR, DEFAULT_RPRD = 1500.0, 130.0
+WIN_RPR, LOSS_RPR, OUTCOME_RPRD = 1540.16061434, 1459.83938566, 122.858308077
+
+
+def weighting_np(rpr, rprd, cutoff) -> np.ndarray:
+    rpr = np.asarray(rpr, dtype=np.float64)
+    rprd = np.asarray(rprd, dtype=np.float64)
+    cutoff = np.asarray(cutoff, dtype=np.float64)
+    w = (erf((rpr - cutoff) / rprd / SQRT2) + 1.0) / 2.0
+    return np.where((rprd > 100) & (cutoff > 1500), 0.0, w)
+
+
+def victory_chance_np(r1, d1, r2, d2) -> np.ndarray:
+    c = (3.0 * np.log(10.0) ** 2) / (400.0 * np.pi) ** 2
+    d = np.asarray(d1, dtype=np.float64) ** 2 + np.asarray(d2, dtype=np.float64) ** 2
+    return 1.0 / (1.0 + 10.0 ** ((np.asarray(r2, dtype=np.float64) - r1)
+                                 / 400.0 / np.sqrt(1.0 + c * d)))
+
+
+def gxe_np(rpr, rprd) -> np.ndarray:
+    """round(100 * victoryChance(rpr, rprd, 1500, 130)) — stats.ts:141-143.
+
+    NaN-in → NaN-out (unrated players have no GXE)."""
+    return np.round(100.0 * victory_chance_np(rpr, rprd, 1500.0, 130.0))
+
+
+def effective_rating_np(rpr, rprd, outcome):
+    """Resolve (rpr, rprd) with the reference's defaults.
+
+    ``outcome``: +1 win, -1 loss, 0 tie/unknown.  A rating with rprd==0
+    is invalid (stats.ts:248)."""
+    rpr = np.asarray(rpr, dtype=np.float64)
+    rprd = np.asarray(rprd, dtype=np.float64)
+    outcome = np.asarray(outcome, dtype=np.float64)
+    valid = ~np.isnan(rpr) & ~np.isnan(rprd) & (rprd != 0)
+    out_rpr = np.where(valid, rpr,
+                       np.where(outcome > 0, WIN_RPR,
+                                np.where(outcome < 0, LOSS_RPR, DEFAULT_RPR)))
+    out_rprd = np.where(valid, rprd,
+                        np.where(outcome != 0, OUTCOME_RPRD, DEFAULT_RPRD))
+    return out_rpr, out_rprd, valid
+
+
+@F.pandas_udf(DoubleType())
+def weighting_udf(rpr: pd.Series, rprd: pd.Series, cutoff: pd.Series) -> pd.Series:
+    return pd.Series(weighting_np(rpr.to_numpy(), rprd.to_numpy(),
+                                  cutoff.to_numpy()))
+
+
+@F.pandas_udf(DoubleType())
+def gxe_udf(rpr: pd.Series, rprd: pd.Series) -> pd.Series:
+    return pd.Series(gxe_np(rpr.to_numpy(), rprd.to_numpy()))

