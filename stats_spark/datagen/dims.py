@@ -234,8 +234,7 @@ def formats_table() -> pd.DataFrame:
 
 @lru_cache(maxsize=1)
 def species_dict() -> dict[str, dict]:
-    return {r.species_id: r._asdict() if hasattr(r, "_asdict") else dict(r)
-            for r in species_table().to_dict("records")}  # type: ignore[union-attr]
+    return {r["species_id"]: dict(r) for r in species_table().to_dict("records")}
 
 
 @lru_cache(maxsize=1)

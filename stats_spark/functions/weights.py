@@ -47,8 +47,9 @@ def victory_chance_np(r1, d1, r2, d2) -> np.ndarray:
 def gxe_np(rpr, rprd) -> np.ndarray:
     """round(100 * victoryChance(rpr, rprd, 1500, 130)) — stats.ts:141-143.
 
+    floor(x+0.5) mirrors JS Math.round (half-up; np.round is half-even).
     NaN-in → NaN-out (unrated players have no GXE)."""
-    return np.round(100.0 * victory_chance_np(rpr, rprd, 1500.0, 130.0))
+    return np.floor(100.0 * victory_chance_np(rpr, rprd, 1500.0, 130.0) + 0.5)
 
 
 def effective_rating_np(rpr, rprd, outcome):

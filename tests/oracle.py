@@ -1,0 +1,294 @@
+"""Plain-Python oracle: independent reimplementation of the reference's
+aggregation pass (stats.ts updateTagged/updateStats/updateLeads/
+updateEncounters/updateTeammates) over parsed battles.
+
+Used by the golden tests to cross-check every Spark aggregate frame.
+The FSM itself (parse_battle) is shared with the engine and validated
+separately by hand-written unit cases in test_parser_units.py — the
+oracle here independently re-derives all the *aggregation* and
+*enrichment* math (stat calc, spreads, stalliness, weighting defaults)
+in straight-line dict code.
+
+Known deliberate divergence from the reference: the `stats` moveset map
+accumulates a clean weighted sum; the reference reuses the spreads
+map's previous value there (stats.ts:346-350), an order-dependent quirk
+we do not reproduce.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from stats_spark.datagen import dims
+from stats_spark.functions.weights import (WIN_RPR, LOSS_RPR, OUTCOME_RPRD,
+                                           DEFAULT_RPR, DEFAULT_RPRD)
+from stats_spark.operators.parse import (INVERSE_OUTCOMES, make_dims_payload,
+                                         parse_battle, ParseError)
+
+LOG3_LOG2 = math.log(3) / math.log(2)
+STATS = ["hp", "atk", "def", "spa", "spd", "spe"]
+
+
+def weighting(rpr, rprd, cutoff):
+    if rprd > 100 and cutoff > 1500:
+        return 0.0
+    return (math.erf((rpr - cutoff) / rprd / math.sqrt(2.0)) + 1.0) / 2.0
+
+
+def victory_chance(r1, d1, r2, d2):
+    c = (3.0 * math.log(10.0) ** 2) / (400.0 * math.pi) ** 2
+    d = d1 ** 2 + d2 ** 2
+    return 1.0 / (1.0 + 10.0 ** ((r2 - r1) / 400.0 / math.sqrt(1.0 + c * d)))
+
+
+def effective_rating(rpr, rprd, outcome):
+    valid = rpr is not None and rprd is not None and rprd != 0 \
+        and not (isinstance(rpr, float) and math.isnan(rpr)) \
+        and not (isinstance(rprd, float) and math.isnan(rprd))
+    if valid:
+        return rpr, rprd, True
+    if outcome == 1:
+        return WIN_RPR, OUTCOME_RPRD, False
+    if outcome == -1:
+        return LOSS_RPR, OUTCOME_RPRD, False
+    return DEFAULT_RPR, DEFAULT_RPRD, False
+
+
+def nature_mult(stat, nature):
+    plus, minus = dims.NATURES[nature]
+    return 1.1 if plus == stat else 0.9 if minus == stat else 1.0
+
+
+def calc_stat(stat, base, iv, ev, level, nature):
+    core = math.floor((2 * base + iv + math.floor(ev / 4)) * level / 100)
+    if stat == "hp":
+        return 1 if base == 1 else core + level + 10
+    return math.floor((core + 5) * nature_mult(stat, nature))
+
+
+def stat_to_ev(stat, val, base, iv, level, nature):
+    if stat == "hp":
+        if base == 1:
+            return 0
+        return max(0, (math.ceil((val - level - 10) * 100 / level) - 2 * base - iv) * 4)
+    n = nature_mult(stat, nature)
+    return max(0, (math.ceil((math.ceil(val / n) - 5) * 100 / level) - 2 * base - iv) * 4)
+
+
+def _base_stats(species):
+    r = dims.species_dict()[species]
+    return {s: r[f"base_{s}"] for s in STATS}
+
+
+def mon_computed(mon):
+    base = _base_stats(mon["species"])
+    stats = {s: calc_stat(s, base[s], mon[f"iv_{s}"], mon[f"ev_{s}"],
+                          mon["level"], mon["nature"]) for s in STATS}
+    evs = [stat_to_ev(s, stats[s], base[s], mon[f"iv_{s}"], mon["level"],
+                      mon["nature"]) for s in STATS]
+    spread = f"{mon['nature'].capitalize()}:{'/'.join(str(e) for e in evs)}"
+    stats_str = "/".join(str(stats[s]) for s in STATS)
+    return stats, spread, stats_str
+
+
+def mon_stalliness(mon, stats):
+    sp = mon["species"]
+    if sp == "shedinja":
+        s = 0.0
+    elif sp == "ditto":
+        s = LOG3_LOG2
+    else:
+        s = -math.log(
+            ((math.floor(2.0 * mon["level"] + 10) / 250
+              * max(stats["atk"], stats["spa"])
+              / max(stats["def"], stats["spd"])) * 120 + 2) * 0.925
+            / stats["hp"]) / math.log(2)
+    mv = set(mon["moves"])
+    if mv & dims.MOVE_CATEGORIES["recovery"]:
+        s += 0.5
+    if mv & dims.MOVE_CATEGORIES["protection"]:
+        s += 0.5
+    if mv & dims.MOVE_CATEGORIES["setup"]:
+        s -= 0.5
+    return s - LOG3_LOG2
+
+
+def classify_team(team):
+    bias = 0
+    stals = []
+    shared = None
+    n_pivot = 0
+    for mon in team:
+        stats, _, _ = mon_computed(mon)
+        stals.append(mon_stalliness(mon, stats))
+        bias += (mon["ev_atk"] + mon["ev_spa"] - mon["ev_hp"]
+                 - mon["ev_def"] - mon["ev_spd"])
+        types = dims.species_dict()[mon["species"]]["types"]
+        shared = list(types) if shared is None else [t for t in shared if t in types]
+        if set(mon["moves"]) & dims.MOVE_CATEGORIES["pivot"]:
+            n_pivot += 1
+    stall = sum(stals) / len(stals)
+    if stall <= -1:
+        bucket = "hyperoffense"
+    elif stall < 0:
+        bucket = "offense"
+    elif stall < 1:
+        bucket = "balance"
+    elif stall < LOG3_LOG2:
+        bucket = "semistall"
+    else:
+        bucket = "stall"
+    tags = [bucket]
+    if shared:
+        tags.append("mono" + shared[0])
+    if n_pivot >= 2:
+        tags.append("voltturn")
+    return bias, stall, tags
+
+
+def parse_corpus(convs_pdf, turns_pdf):
+    """Parse every conversation with the shared FSM; returns
+    (battles, rejects)."""
+    D = make_dims_payload()
+    grouped = dict(list(turns_pdf.sort_values("turn_idx").groupby("conv_id")))
+    battles, rejects = [], []
+    for meta in convs_pdf.to_dict("records"):
+        cid = meta["conv_id"]
+        lines = grouped[cid]["text"].tolist() if cid in grouped else []
+        try:
+            battles.append(parse_battle(meta, lines, D))
+        except ParseError as e:
+            rejects.append((cid, str(e)))
+    return battles, rejects
+
+
+class OracleStats:
+    """Accumulates the full Statistics tree the reference way."""
+
+    def __init__(self, cutoffs=dims.DEFAULT_CUTOFFS):
+        self.cutoffs = cutoffs
+        dd = defaultdict
+        self.usage = dd(lambda: dd(float))          # (f,c,species) -> counters
+        self.totals = dd(lambda: dd(float))         # (f,c) -> counters
+        self.moveset = dd(lambda: [0.0, 0])         # (f,c,sp,section,key) -> [w, raw]
+        self.teammates = dd(float)                  # (f,c,a,b) -> w
+        self.encounters = dd(lambda: [0.0] * 13)    # (f,c,a,b) -> outcome vec
+        self.leads = dd(lambda: dd(float))          # (f,c,species)
+        self.battles = dd(int)                      # (f,c)
+        self.metagame = dd(float)                   # (f,c,tag) -> w
+        self.stalliness = dd(float)                 # (f,c,value) -> w
+        self.unique = {}                            # (f,c,sp,player) -> [r,w,g]
+
+    def update(self, battle):
+        fmt = battle["format"]
+        if not dims.accept_format(fmt):
+            return
+        singles = fmt not in dims.NON_SINGLES_FORMATS
+        short = (fmt not in dims.NON_6V6_FORMATS
+                 and (battle["turns"] < 2 or (battle["turns"] < 3 and singles)))
+
+        side_w = {}
+        for side in ("p1", "p2"):
+            outcome = (0 if battle["winner"] == "tie"
+                       else 1 if battle["winner"] == side else -1)
+            rpr, rprd, valid = effective_rating(
+                battle[f"{side}_rpr"], battle[f"{side}_rprd"], outcome)
+            gxe = (math.floor(100 * victory_chance(battle[f"{side}_rpr"],
+                                                   battle[f"{side}_rprd"],
+                                                   1500, 130) + 0.5)
+                   if valid else None)
+            ws = {c: weighting(rpr, rprd, c) for c in self.cutoffs}
+            side_w[side] = ws
+            team = battle[f"{side}_team"]
+            bias, stall, tags = classify_team(team)
+            win = outcome == 1
+            player = battle[f"{side}_name"]
+            for c in self.cutoffs:
+                w = ws[c]
+                key = (fmt, c)
+                for mon in team:
+                    if not short:
+                        self.totals[key]["usage_raw"] += 1
+                        self.totals[key]["usage_weighted"] += w
+                        if win:
+                            self.totals[key]["win_raw"] += 1
+                            self.totals[key]["win_weighted"] += w
+                        for t in tags:
+                            self.metagame[(fmt, c, t)] += w
+                        self.stalliness[(fmt, c, stall)] += w
+                    self.totals[key]["raw_count"] += 1
+                    sp = mon["species"]
+                    u = self.usage[(fmt, c, sp)]
+                    u["raw_count"] += 1
+                    u["raw_weight"] += w
+                    if valid:
+                        u["saved_count"] += 1
+                        u["saved_weight"] += w
+                    uq = self.unique.setdefault((fmt, c, sp, player),
+                                                [0, 0.0, None])
+                    if gxe is not None:
+                        uq[2] = gxe if uq[2] is None else max(uq[2], gxe)
+                    stats, spread, stats_str = mon_computed(mon)
+                    ability = ("illuminate" if mon["ability"] == "unknown"
+                               else mon["ability"])
+                    for section, k in ([("abilities", ability),
+                                        ("items", mon["item"]),
+                                        ("tera_types", mon["tera_type"]),
+                                        ("happinesses", str(mon["happiness"])),
+                                        ("spreads", spread),
+                                        ("stats", stats_str)]
+                                       + [("moves", m) for m in mon["moves"]]):
+                        ms = self.moveset[(fmt, c, sp, section, k)]
+                        ms[0] += w
+                        ms[1] += 1
+                    if not short:
+                        u["usage_raw"] += 1
+                        u["usage_weighted"] += w
+                        real = 1 if mon["turns_out"] > 0 else 0
+                        if real:
+                            u["usage_real"] += 1
+                            self.totals[key]["usage_real"] += 1
+                            if win:
+                                u["win_real"] += 1
+                                self.totals[key]["win_real"] += 1
+                        if win:
+                            u["win_raw"] += 1
+                            u["win_weighted"] += w
+                        uq[0] |= real
+                        uq[1] = max(uq[1], w)
+                        # teammates (both directions)
+                        for other in team:
+                            if other["slot"] < mon["slot"]:
+                                self.teammates[(fmt, c, sp, other["species"])] += w
+                                self.teammates[(fmt, c, other["species"], sp)] += w
+
+        if short:
+            return
+        leads_ok = (battle.get("lead_p1") not in (None, "empty")
+                    and battle.get("lead_p2") not in (None, "empty"))
+        for c in self.cutoffs:
+            if singles:
+                if not leads_ok:
+                    continue
+                for side in ("p1", "p2"):
+                    lu = self.leads[(fmt, c, battle[f"lead_{side}"])]
+                    lu["lead_raw"] += 1
+                    lu["lead_real"] += 1
+                    lu["lead_weighted"] += side_w[side][c]
+                w = min(side_w["p1"][c], side_w["p2"][c])
+                for m in battle["matchups"]:
+                    a, b, o = m["a"], m["b"], m["outcome"]
+                    self.encounters[(fmt, c, a, b)][o] += w
+                    self.encounters[(fmt, c, b, a)][INVERSE_OUTCOMES[o]] += w
+                self.battles[(fmt, c)] += 1
+            else:
+                self.battles[(fmt, c)] += 1
+
+
+def run_oracle(convs_pdf, turns_pdf, cutoffs=dims.DEFAULT_CUTOFFS):
+    battles, rejects = parse_corpus(convs_pdf, turns_pdf)
+    o = OracleStats(cutoffs)
+    for b in battles:
+        o.update(b)
+    return o, battles, rejects
