@@ -1,0 +1,92 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline parse→enrich→route→aggregate pipeline over the
+deterministic bench transcript corpus plus representative operator
+queries at $SPARK_GRAFT_SF_DIR, on local[$SPARK_GRAFT_CPUS].  Prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "turns": N, "turns_per_sec": T, "cpus": C}
+
+Knobs:
+  SPARK_GRAFT_SF_DIR      default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS        default 32
+  STATS_SPARK_BENCH_CONVS bench corpus size (default 200_000 convs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("STATS_SPARK_BENCH_CONVS", "200000"))
+
+    from stats_spark.session import get_spark
+    from stats_spark.datagen import corpus, dims
+
+    corpus.TIERS["bench"] = n_convs
+    spark = get_spark("stats_spark_bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one-time corpus generation is NOT part of the measured time
+    c = corpus.ensure_corpus("bench", spark=spark)
+
+    from stats_spark.sources import tables
+    n_turns = tables.load_transcripts(spark, c).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: the full routed pipeline over the bench corpus
+    from stats_spark.plans import pipeline
+    out_dir = os.path.join(corpus.corpus_dir("bench"), "out")
+    timed("pipeline_total",
+          lambda: pipeline.run_pipeline(spark, c, out_dir,
+                                        checkpoint_battles=True))
+
+    # representative operator queries at the driver SF tables
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(REPO, "__spark_entry__.py"))
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+    for q in ["q1_pricing_summary", "q3_shipping_priority",
+              "q_events_sessions", "doc_minhash_lsh", "doc_simhash",
+              "emb_cosine_topk"]:
+        fn = e.queries()[q]
+        timed(q, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    tput = round(n_turns / timings["pipeline_total"], 1)
+    print(json.dumps({
+        "metric": "parse_enrich_route_aggregate_plus_operator_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "turns": n_turns,
+        "turns_per_sec": tput,
+        "cpus": cpus,
+        "bench_convs": n_convs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -296,7 +296,10 @@ def generate_pandas(n_convs: int, seed: int = dims.SEED):
 
 def corpus_dir(tier: str, base: str | None = None) -> str:
     base = base or os.environ.get("STATS_SPARK_DATA", "/root/repo/data")
-    return os.path.join(base, f"corpus_{tier}")
+    suffix = tier
+    if tier == "bench":  # bench size is tunable — cache per size
+        suffix = f"bench_{TIERS['bench']}"
+    return os.path.join(base, f"corpus_{suffix}")
 
 
 def ensure_corpus(tier: str, base: str | None = None, spark=None) -> dict:

@@ -1,0 +1,101 @@
+"""Portable SQL generators (valid in both Spark SQL and DuckDB).
+
+The DuckDB-based correctness oracle must be able to recompute our
+weighted aggregates independently, but DuckDB has no erf().  We emit
+W. J. Cody's rational-Chebyshev erf (same published algorithm as
+functions/erf.py and the reference's util.ts:421-527) as a plain SQL
+CASE expression — only +,*,/ and exp(), identical evaluation order in
+both engines, so results agree to the last ulp of exp().
+
+Weighted comparisons round to 6 decimals on both sides to absorb that
+last-ulp libm difference.
+"""
+
+from __future__ import annotations
+
+_A = ["3.16112374387056560e0", "1.13864154151050156e2",
+      "3.77485237685302021e2", "3.20937758913846947e3",
+      "1.85777706184603153e-1"]
+_B = ["2.36012909523441209e1", "2.44024637934444173e2",
+      "1.28261652607737228e3", "2.84423683343917062e3"]
+_C = ["5.64188496988670089e-1", "8.88314979438837594e0",
+      "6.61191906371416295e1", "2.98635138197400131e2",
+      "8.81952221241769090e2", "1.71204761263407058e3",
+      "2.05107837782607147e3", "1.23033935479799725e3",
+      "2.15311535474403846e-8"]
+_D = ["1.57449261107098347e1", "1.17693950891312499e2",
+      "5.37181101862009858e2", "1.62138957456669019e3",
+      "3.29079923573345963e3", "4.36261909014324716e3",
+      "3.43936767414372164e3", "1.23033935480374942e3"]
+_P = ["3.05326634961232344e-1", "3.60344899949804439e-1",
+      "1.25781726111229246e-1", "1.60837851487422766e-2",
+      "6.58749161529837803e-4", "1.63153871373020978e-2"]
+_Q = ["2.56852019228982242e0", "1.87295284992346047e0",
+      "5.27905102951428412e-1", "6.05183413124413191e-2",
+      "2.33520497626869185e-3"]
+
+_SQRPI = "5.6418958354775628695e-1"
+
+
+def _horner(lead: str, coefs: list[str], var: str, last: str) -> str:
+    """((lead*v + c0)*v + c1)*v ... + last — mirrors the SPECFUN
+    recurrence used in erf.py so arithmetic order is identical."""
+    e = f"({lead} * {var})"
+    for c in coefs:
+        e = f"(({e} + {c}) * {var})"
+    return f"({e} + {last})"
+
+
+def erf_sql(x: str) -> str:
+    """erf(x) as a SQL expression; ``x`` must be a column/expression
+    that is cheap to repeat (alias it in a prior CTE)."""
+    ax = f"abs({x})"
+    z = f"({x} * {x})"
+    num0 = _horner(_A[4], _A[0:3], z, _A[3])
+    den0 = _horner("1.0", _B[0:3], z, _B[3])
+    # note: denominator recurrence starts xden = z (lead coef 1)
+    branch0 = f"({x} * {num0} / {den0})"
+
+    y = ax
+    num1 = _horner(_C[8], _C[0:7], y, _C[7])
+    den1 = _horner("1.0", _D[0:7], y, _D[7])
+    ysq1 = f"(floor({y} * 16.0) / 16.0)"
+    erfc1 = (f"(exp(-{ysq1} * {ysq1}) * exp(-(({y} - {ysq1}) * ({y} + {ysq1})))"
+             f" * ({num1} / {den1}))")
+    branch1 = f"(CASE WHEN {x} >= 0 THEN 1.0 - {erfc1} ELSE {erfc1} - 1.0 END)"
+
+    z2 = f"(1.0 / ({y} * {y}))"
+    num2 = _horner(_P[5], _P[0:4], z2, _P[4])
+    den2 = _horner("1.0", _Q[0:4], z2, _Q[4])
+    r2 = f"({z2} * {num2} / {den2})"
+    ysq2 = ysq1
+    erfc2 = (f"(CASE WHEN {y} >= 26.543 THEN 0.0 ELSE "
+             f"exp(-{ysq2} * {ysq2}) * exp(-(({y} - {ysq2}) * ({y} + {ysq2})))"
+             f" * (({_SQRPI}) - {r2}) / {y} END)")
+    branch2 = f"(CASE WHEN {x} >= 0 THEN 1.0 - {erfc2} ELSE {erfc2} - 1.0 END)"
+
+    return (f"(CASE WHEN {ax} <= 0.46875 THEN {branch0} "
+            f"WHEN {ax} <= 4.0 THEN {branch1} "
+            f"ELSE {branch2} END)")
+
+
+def weighting_sql(rpr: str, rprd: str, cutoff: str) -> str:
+    """util.ts:416-419 as portable SQL."""
+    x = f"(({rpr} - {cutoff}) / {rprd} / sqrt(2.0))"
+    return (f"(CASE WHEN {rprd} > 100 AND {cutoff} > 1500 THEN 0.0 "
+            f"ELSE ({erf_sql(x)} + 1.0) / 2.0 END)")
+
+
+def effective_rpr_sql(rpr: str, rprd: str, outcome: str) -> str:
+    """stats.ts:245-258 defaults; ``outcome``: 1 win, -1 loss, 0 tie."""
+    valid = f"({rpr} IS NOT NULL AND {rprd} IS NOT NULL AND {rprd} <> 0)"
+    return (f"(CASE WHEN {valid} THEN {rpr} "
+            f"WHEN {outcome} = 1 THEN 1540.16061434 "
+            f"WHEN {outcome} = -1 THEN 1459.83938566 "
+            f"ELSE 1500.0 END)")
+
+
+def effective_rprd_sql(rpr: str, rprd: str, outcome: str) -> str:
+    valid = f"({rpr} IS NOT NULL AND {rprd} IS NOT NULL AND {rprd} <> 0)"
+    return (f"(CASE WHEN {valid} THEN {rprd} "
+            f"WHEN {outcome} <> 0 THEN 122.858308077 ELSE 130.0 END)")

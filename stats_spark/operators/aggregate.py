@@ -110,7 +110,8 @@ def teammates(sides_w: DataFrame) -> DataFrame:
             .select(*GK, "weight", F.explode(F.flatten(pairs)).alias("p"))
             .groupBy(*GK, F.col("p.a").alias("species"),
                      F.col("p.b").alias("teammate"))
-            .agg(F.sum("weight").alias("weight")))
+            .agg(F.sum("weight").alias("weight"),
+                 F.count("*").alias("raw")))
 
 
 def encounters(battles_w: DataFrame) -> DataFrame:

@@ -1,0 +1,146 @@
+"""Deduplication operators over a documents table.
+
+Scale-first designs (the 100 TB story is the point — these run on the
+`documents` table here but are written for a corpus that doesn't fit
+anywhere):
+
+  exact_dups          hash-groupBy on md5(text) — one shuffle keyed by
+                      digest, representative = min(doc_id)
+  ngram_jaccard_pairs shingle → explode → self-equi-join on shingle →
+                      pair counts (candidate generation is the join;
+                      never an O(n²) cross join)
+  minhash_lsh_pairs   shingle → K md5 minhashes → band keys → bucket
+                      join; only same-bucket pairs are scored
+  simhash64           60-bit simhash per doc via bit-position explode +
+                      sign aggregation (near-dup = small hamming dist)
+  embedding_dup_pairs cosine ≥ τ pairs via normalized dot product
+
+Every hash is md5-derived so the DuckDB oracle computes bit-identical
+values (Spark conv(md5) == DuckDB ('0x'||md5)::UBIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from stats_spark.functions import text as T
+
+HASH_BITS = 60
+
+
+def exact_dups(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: digest → count + representative id."""
+    return (docs
+            .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+            .groupBy("digest")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", w: int = 3) -> DataFrame:
+    return docs.select(F.col(id_col).alias("id"),
+                       F.explode(T.shingles(text_col, w)).alias("sh"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", w: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.  The shingle
+    equi-join generates only candidate pairs that share ≥1 shingle."""
+    sh = doc_shingles(docs, text_col, id_col, w).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    j = (inter.join(sa, "id_a").join(sb, "id_b")
+         .withColumn("jaccard",
+                     F.round(F.col("inter")
+                             / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+         .filter(F.col("jaccard") >= threshold))
+    return j.select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", w: int = 3,
+                      k: int = 16) -> DataFrame:
+    """K minhashes per doc: min over shingles of md5(shingle || '#i')."""
+    sh = doc_shingles(docs, text_col, id_col, w)
+    hashes = [
+        F.min(T.md5_long(F.concat(F.col("sh"), F.lit(f"#{i}"))))
+         .alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*hashes)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", w: int = 3,
+                      k: int = 16, band_rows: int = 2) -> DataFrame:
+    """LSH candidate pairs: split the K-row signature into bands of
+    ``band_rows``; docs sharing any band bucket become a candidate.
+    Returns distinct (id_a < id_b) pairs with the number of matching
+    bands (a cheap similarity proxy; rescore with jaccard downstream)."""
+    sig = minhash_signature(docs, text_col, id_col, w, k)
+    n_bands = k // band_rows
+    bands = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.concat_ws("_", *[F.col(f"h{bi * band_rows + r}")
+                                    for r in range(band_rows)]).alias("key"))
+        for bi in range(n_bands)
+    ])
+    buckets = (sig.select("id", F.explode(bands).alias("b"))
+               .select("id", F.col("b.band").alias("band"),
+                       F.col("b.key").alias("key")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_bands")))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over word tokens: per bit position, sign of
+    Σ(±1) across token hashes.  One explode + one groupBy."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(T.word_tokens(text_col)))
+                         .alias("tok"))
+            .withColumn("h", T.md5_long("tok")))
+    bits = toks.select(
+        "id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(HASH_BITS - 1))).alias("b"))
+    # shiftright/shiftleft take only literal counts in the Python DSL —
+    # use SQL exprs for column-valued shift amounts
+    signed = F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+    return (bits.withColumn("s", signed)
+            .groupBy("id", "b").agg(F.sum("s").alias("v"))
+            .groupBy("id")
+            .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)"))
+                        .otherwise(F.lit(0))).alias("simhash")))
+
+
+def embedding_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate vectors: cosine ≥ threshold.  Brute-force scoring
+    with pre-normalized vectors; at scale, gate with LSH buckets first
+    (see similarity.lsh_buckets)."""
+    from stats_spark.operators.similarity import with_norm, dot
+
+    n = with_norm(emb, vec_col, id_col)
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot(F.col("a.vec"), F.col("b.vec"))
+           / (F.col("a.norm") * F.col("b.norm")))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    "cosine"))

@@ -1,0 +1,100 @@
+"""Similarity search over an embedding column (array<float>).
+
+  cosine_topk   exact brute-force top-k per query — the correctness
+                baseline.  Queries are a small broadcast side; the
+                corpus side streams, so the plan is a broadcast
+                nested-loop scoring pass + per-query top-k window (no
+                corpus shuffle until the tiny ranked result).
+  lsh_buckets   random-hyperplane signatures (deterministic md5-seeded
+                planes) — the scale path: candidate pairs share a
+                bucket, turning O(n²) scoring into an equi-join.
+
+Dot products use F.aggregate/zip_with (JVM higher-order functions) —
+no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(F.col(id_col).alias("id"), v.alias("vec")) \
+              .withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self-matches
+    excluded).  ``queries`` is expected to be small → broadcast."""
+    from pyspark.sql import Window
+
+    corpus = with_norm(emb, vec_col, id_col)
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"))
+    scored = (corpus.join(F.broadcast(q), F.col("id") != F.col("q_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("vec"), F.col("q_vec"))
+                                  / (F.col("norm") * F.col("q_norm")), 6)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col("id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = 12, dim: int = 64,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of <v, plane_i> → bucket key.
+    Planes are literal arrays (deterministic from the seed), so the
+    signature is pure column math."""
+    planes = _planes(dim, n_planes, seed)
+    corpus = with_norm(emb, vec_col, id_col)
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(F.col("vec"), plane) >= 0, F.lit(1))
+                     .otherwise(F.lit(0)).cast("string"))
+    return corpus.withColumn("bucket", F.concat(*bits)).select("id", "bucket")
+
+
+def ann_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, dim: int = 64,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket.  Recall < 1 by design; the scale path for 100 TB corpora."""
+    from pyspark.sql import Window
+
+    b = lsh_buckets(emb, n_planes, dim, vec_col, id_col)
+    corpus = with_norm(emb, vec_col, id_col).join(b, "id")
+    qb = lsh_buckets(queries, n_planes, dim, vec_col, id_col) \
+        .withColumnRenamed("id", "q_id").withColumnRenamed("bucket", "q_bucket")
+    q = (with_norm(queries, vec_col, id_col)
+         .select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+                 F.col("norm").alias("q_norm"))
+         .join(qb, "q_id"))
+    scored = (corpus.join(F.broadcast(q),
+                          (F.col("bucket") == F.col("q_bucket"))
+                          & (F.col("id") != F.col("q_id")))
+              .withColumn("cosine",
+                          F.round(dot(F.col("vec"), F.col("q_vec"))
+                                  / (F.col("norm") * F.col("q_norm")), 6)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col("id").alias("neighbor_id"), "cosine", "rank"))

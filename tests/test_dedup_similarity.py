@@ -1,0 +1,111 @@
+"""Unit tests for dedup / similarity / text / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stats_spark.functions import text as T
+from stats_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),      # near dup
+        (3, "completely different words about spark shuffles and joins"),
+        (4, "spark shuffles and joins require careful partition tuning"),
+        (5, "one two three four five six seven eight nine ten"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dups(docs):
+    out = dedup.exact_dups(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].keep_id == 0
+
+
+def test_jaccard_identical_and_near(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.2 <= pairs[(0, 2)] < 1.0
+    assert (3, 5) not in pairs
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.n_bands
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 8          # identical docs share every band
+    assert (0, 2) in pairs             # near dup shares ≥1 band
+    assert (3, 5) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sh = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+
+
+def test_fingerprint_deterministic(docs, spark):
+    fp = docs.select("doc_id", T.doc_fingerprint("text").alias("f")).collect()
+    vals = {r.doc_id: r.f for r in fp}
+    assert vals[0] == vals[1]
+    assert vals[0] != vals[3]
+
+
+def test_cosine_topk_sanity(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in base + 0.01 * rng.standard_normal(16)]),
+            (2, [float(x) for x in -base]),
+            (3, [float(x) for x in rng.standard_normal(16)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)][0] == 1
+    assert top[-1].cosine <= top[0].cosine
+
+
+def test_ann_subset_of_exact(spark):
+    import numpy as np
+    rng = np.random.default_rng(6)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 3")
+    exact = similarity.cosine_topk(emb, q, k=10)
+    ann = similarity.ann_topk(emb, q, k=10, n_planes=4, dim=16)
+    # every ANN hit must be a real corpus vector scored identically
+    ex = {(r.q_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in ann.collect():
+        if (r.q_id, r.neighbor_id) in ex:
+            assert r.cosine == ex[(r.q_id, r.neighbor_id)]
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synth_media(spark, n=12)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r.feat) == 8 for r in rows)
+    # deterministic: same payloads → same digests on a second run
+    again = {r.media_id: r.digest for r in
+             multimodal.extract_features(media).collect()}
+    assert {r.media_id: r.digest for r in rows} == again
+    # frame-sample plan explodes video timestamps only
+    plan = multimodal.frame_sample_plan(media, every_ms=2000)
+    kinds = media.filter("kind = 'video'").count()
+    assert plan.select("media_id").distinct().count() == kinds
+
+
+def test_streaming_counts(spark, t1):
+    from stats_spark.streaming import pipeline as SP
+    stream = SP.read_transcript_stream(spark, t1)
+    q = SP.run_available_now(SP.stream_usage_raw(stream), "usage_stream")
+    out = spark.sql("SELECT sum(n_convs) AS n FROM usage_stream").collect()
+    assert out[0].n == 60
+    q.stop()
