@@ -69,8 +69,13 @@ def battles_weighted(battles: DataFrame,
 
 
 def build_frames(spark: SparkSession, battles: DataFrame,
-                 cutoffs: list[int] = dims.DEFAULT_CUTOFFS) -> dict:
-    """All aggregate DataFrames (lazy) from a parsed battles frame."""
+                 cutoffs: list[int] = dims.DEFAULT_CUTOFFS,
+                 cache: bool = False) -> dict:
+    """All aggregate DataFrames (lazy) from a parsed battles frame.
+
+    ``cache=True`` persists the three shared intermediates (mons_w,
+    sides_w, battles_w) — every sink reuses them instead of re-running
+    the enrichment; use when materializing several sinks in one job."""
     ok = enrich.accepted_battles(battles)
     sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
     mons = enrich.enrich_mons(sides, spark)
@@ -80,6 +85,21 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     sides_w = enrich.with_weight(enrich.explode_cutoffs(
         sides.join(side_class, ["conv_id", "side"]), cutoffs))
     battles_w = battles_weighted(ok, cutoffs)
+    if cache:
+        # prune to the union of columns the aggregates consume before
+        # materializing — the full enriched frame is ~45 columns and
+        # caching it costs more than every aggregate combined
+        mons_w = mons_w.select(
+            "format", "cutoff", "species", "player", "weight",
+            "rating_valid", "short", "outcome", "turns_out", "gxe",
+            "ability", "item", "tera_type", "happiness", "spread",
+            "stats_str", "moves").cache()
+        sides_w = sides_w.select(
+            "conv_id", "format", "cutoff", "side", "weight", "short",
+            "team", "team_size", "tags", "team_stalliness").cache()
+        battles_w = battles_w.select(
+            "conv_id", "format", "cutoff", "short", "singles", "leads_ok",
+            "lead_p1", "lead_p2", "w_p1", "w_p2", "matchups").cache()
 
     usage = agg.usage_by_species(mons_w)
     frames = dict(
@@ -122,19 +142,23 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         (battles.write.mode("overwrite").partitionBy("format")
          .parquet(bpath))
         battles = spark.read.parquet(bpath)
+    t_parse = time.time() - t0
 
-    frames = build_frames(spark, battles, cutoffs)
+    frames = build_frames(spark, battles, cutoffs, cache=True)
     metrics = []
     for sink in (sinks or SINKS):
+        ts = time.time()
         df = frames[sink]
         part = ("format", "cutoff") if "cutoff" in df.columns else ("format",)
         path = tables.write_routed(df, out_dir, sink, partition_cols=part)
         metrics.append(dict(partition=sink, path=path,
-                            rows=spark.read.parquet(path).count()))
+                            rows=spark.read.parquet(path).count(),
+                            seconds=round(time.time() - ts, 2)))
     # dead-letter route — P8 rejects
     rej = frames["rejects"].select("conv_id", "format", "day", "error", "ts")
     rej.write.mode("overwrite").parquet(os.path.join(out_dir, "rejects"))
     metrics.append(dict(partition="rejects", path=os.path.join(out_dir, "rejects"),
-                        rows=rej.count()))
+                        rows=rej.count(), seconds=0.0))
     tables.write_lineage(spark, out_dir, "stats_pipeline", metrics)
-    return dict(seconds=time.time() - t0, sinks=metrics)
+    return dict(seconds=time.time() - t0, parse_seconds=round(t_parse, 2),
+                sinks=metrics)
