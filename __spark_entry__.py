@@ -457,10 +457,55 @@ def tr_metagame(spark, sf_dir):
                                 F.round("weight", 6).alias("weight"))
 
 
+def tr_usage_by_tag(spark, sf_dir):
+    """A13 single-pass tag fan-out (classifier-derived shards)."""
+    f = _frames(spark)
+    return (f["usage_tagged"].filter(F.col("cutoff") == 1500)
+            .select("format", "tag", "species", "raw_count",
+                    F.round("usage_weighted", 6).alias("usage_weighted")))
+
+
 def tr_viability(spark, sf_dir):
     f = _frames(spark)
     return f["viability"].filter(F.col("cutoff") == 0).select(
         "format", "species", "n", "gxe_max", "gxe_p1", "gxe_p20")
+
+
+def tr_anon_sample(spark, sf_dir):
+    """F5 deterministic hash sampling at rate 0.25 — reproducible and
+    oracle-recomputable (md5 bucket, not df.sample)."""
+    from stats_spark.operators import anonymize as A
+    from stats_spark.sources import tables
+    cv = tables.load_conversations(spark, _corpus())
+    return (A.sample_conversations(cv, 0.25)
+            .groupBy("format").agg(F.count("*").alias("n_sampled")))
+
+
+def tr_anon_leaks(spark, sf_dir):
+    """P9+P10: anonymize the corpus, then leak-verify.  Returns one row
+    per format with line counts and leaks (must be 0)."""
+    from stats_spark.operators import anonymize as A
+    from stats_spark.sources import tables
+    tr = tables.load_transcripts(spark, _corpus())
+    cv = tables.load_conversations(spark, _corpus())
+    anon = A.anonymize_transcripts(tr, cv, salt="bench-salt")
+    leaks = A.verify_no_leaks(anon, cv)
+    fm = cv.select("conv_id", "format")
+    out = (anon.join(fm, "conv_id")
+           .groupBy("format").agg(F.count("*").alias("n_lines")))
+    lk = (leaks.join(fm, "conv_id")
+          .groupBy("format").agg(F.count("*").alias("n_leaks")))
+    return (out.join(lk, "format", "left")
+            .na.fill(0, ["n_leaks"])
+            .select("format", "n_lines", "n_leaks"))
+
+
+def tr_tier_update(spark, sf_dir):
+    """W10 tier rise/drop ladder over month-bucketed weighted usage."""
+    from stats_spark.plans import tiers
+    b = _battles(spark)
+    monthly = tiers.monthly_usage(b, cutoff=1630, n_months=3)
+    return tiers.tier_update(tiers.combined_usage(monthly), spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -490,13 +535,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_turns_per_format": tr_turns_per_format,
         "tr_player_wins": tr_player_wins,
         "tr_rejects": tr_rejects,
+        "tr_anon_sample": tr_anon_sample,
+        "tr_anon_leaks": tr_anon_leaks,
         "tr_usage_weighted": tr_usage_weighted,
         "tr_usage_report": tr_usage_report,
         "tr_leads_raw": tr_leads_raw,
         "tr_teammate_pairs": tr_teammate_pairs,
+        "tr_tier_update": tr_tier_update,
         "tr_encounters": tr_encounters,
         "tr_moveset": tr_moveset,
         "tr_metagame": tr_metagame,
+        "tr_usage_by_tag": tr_usage_by_tag,
         "tr_viability": tr_viability,
     }
 
@@ -749,6 +798,12 @@ def oracle_sql() -> dict[str, str]:
       FROM {CV} c JOIN rejects r ON c.conv_id = r.conv_id
       GROUP BY 1"""
 
+    sql["tr_anon_sample"] = f"""
+      SELECT format, count(*) AS n_sampled
+      FROM {CV}
+      WHERE ('0x' || substr(md5(conv_id), 1, 15))::UBIGINT % 1000000 < 250000
+      GROUP BY 1"""
+
     sql["tr_usage_weighted"] = f"""
       WITH {_weighted_mons_cte()}
       SELECT format, cutoff, species, count(*) AS raw_count,
@@ -818,6 +873,78 @@ def oracle_sql() -> dict[str, str]:
         AND format NOT IN {non_singles}
         AND NOT {short}
       GROUP BY 1, 2"""
+
+    from stats_spark.plans import tiers as _tiers
+    from stats_spark.functions import sqlgen as _sg
+    tier_vals = ", ".join(
+        f"('{r.species_id}', '{r.tier}')"
+        for r in _dims().species_table().itertuples())
+    ladder = _tiers.LADDER
+    known = "('Ubers', " + ", ".join(f"'{t}'" for _, t in ladder) + ")"
+    tier_fmts = ", ".join(f"'{f}'" for f, _ in ladder)
+    rise = repr(_tiers.RISE)
+    cascade = "CASE WHEN current_tier = 'Ubers' THEN 'Ubers' "
+    tiers_seq = [t for _, t in ladder] + [_tiers.FLOOR]
+    for i, (fmt, tier) in enumerate(ladder):
+        lower = tiers_seq[i + 1]
+        cascade += f"WHEN u_{fmt} > {rise} THEN '{tier}' "
+        cascade += (f"WHEN current_tier = '{tier}' THEN "
+                    f"(CASE WHEN u_{fmt} < {rise} THEN '{lower}' "
+                    f"ELSE '{tier}' END) ")
+    cascade += f"ELSE '{_tiers.FLOOR}' END"
+    sql["tr_tier_update"] = f"""
+      WITH {_rejects_cte()},
+      sides AS (
+        SELECT conv_id, format, turns,
+               CASE WHEN winner = p1 THEN 1 WHEN winner = p2 THEN -1 ELSE 0 END AS outcome,
+               p1_rating_rpr AS rpr, p1_rating_rprd AS rprd, p1_team AS team
+        FROM {CV} WHERE format IN ({tier_fmts})
+          AND conv_id NOT IN (SELECT conv_id FROM rejects)
+        UNION ALL
+        SELECT conv_id, format, turns,
+               CASE WHEN winner = p2 THEN 1 WHEN winner = p1 THEN -1 ELSE 0 END,
+               p2_rating_rpr, p2_rating_rprd, p2_team
+        FROM {CV} WHERE format IN ({tier_fmts})
+          AND conv_id NOT IN (SELECT conv_id FROM rejects)),
+      mons AS (
+        SELECT ('0x' || substr(md5(conv_id), 1, 15))::UBIGINT % 3 AS month,
+               format, turns,
+               {_sg.effective_rpr_sql('rpr', 'rprd', 'outcome')} AS erpr,
+               {_sg.effective_rprd_sql('rpr', 'rprd', 'outcome')} AS erprd,
+               {_mega_case_sql('u.species', 'u.item')} AS species
+        FROM (SELECT conv_id, format, turns, outcome, rpr, rprd,
+                     unnest(team) AS u FROM sides)),
+      w AS (
+        SELECT month, format, species,
+               {_sg.weighting_sql('erpr', 'erprd', '1630')} AS w
+        FROM mons WHERE NOT (turns < 2 OR turns < 3)),
+      per AS (
+        SELECT month, format, species, sum(w) AS sw FROM w GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT month, format, greatest(1.0, sum(sw)) AS total
+        FROM per GROUP BY 1, 2),
+      monthly AS (
+        SELECT per.month, per.format, species,
+               sw / total * 6 AS usage_frac
+        FROM per JOIN tot ON per.month = tot.month AND per.format = tot.format),
+      combined AS (
+        SELECT format, species, sum(usage_frac) / 3 AS usage
+        FROM monthly GROUP BY 1, 2),
+      pivoted AS (
+        SELECT d.species,
+               CASE WHEN d.tier IN {known} THEN d.tier ELSE '{_tiers.FLOOR}' END
+                 AS current_tier,
+               {", ".join(
+                   f"coalesce(max(CASE WHEN c.format = '{fmt}' THEN usage END), 0.0) AS u_{fmt}"
+                   for fmt, _ in ladder)}
+        FROM (VALUES {tier_vals}) AS d(species, tier)
+        LEFT JOIN combined c ON c.species = d.species
+        GROUP BY 1, 2)
+      SELECT species, current_tier,
+             {cascade} AS updated_tier,
+             ({cascade}) <> current_tier AS changed,
+             {", ".join(f"round(u_{fmt}, 6) AS usage_{fmt}" for fmt, _ in ladder)}
+      FROM pivoted"""
 
     sql["tr_teammate_pairs"] = f"""
       WITH {_rejects_cte()},

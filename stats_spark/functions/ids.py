@@ -16,7 +16,13 @@ _ID_RE = re.compile(r"[^a-z0-9]+")
 
 
 def to_id_py(s: str | None) -> str:
-    return _ID_RE.sub("", (s or "").lower())
+    if not s:
+        return ""
+    # fast path: already-canonical ids (the overwhelmingly common case
+    # in the parse hot loop) skip the regex
+    if s.isalnum() and s.islower() and s.isascii():
+        return s
+    return _ID_RE.sub("", s.lower())
 
 
 def to_id(col: Column | str) -> Column:

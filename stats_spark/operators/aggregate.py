@@ -51,6 +51,35 @@ def usage_by_species(mons_w: DataFrame) -> DataFrame:
     ))
 
 
+def with_tag_dimension(df: DataFrame) -> DataFrame:
+    """A13 tag fan-out: explode the side's team tags PLUS the sentinel
+    'total' so one aggregation pass produces the untagged statistics and
+    every tagged shard simultaneously — the single-pass answer to the
+    reference's ~20× monotype reprocessing hot spot (FAQ.md:74-76;
+    stats.ts:122-212 updates all tag trees in one battle visit)."""
+    return df.withColumn(
+        "tag",
+        F.explode(F.concat(F.array(F.lit("total")),
+                           F.coalesce(F.col("tags"), F.array()))))
+
+
+def usage_by_species_tagged(mons_wt: DataFrame) -> DataFrame:
+    """Per-(tag, species) usage counters.  Input: mons_w ⋈ side tags →
+    with_tag_dimension.  tag='total' reproduces usage_by_species."""
+    win = F.col("outcome") == 1
+    real = F.col("turns_out") > 0
+    return (mons_wt.groupBy(*GK, "tag", "species").agg(
+        F.count("*").alias("raw_count"),
+        F.sum("weight").alias("raw_weight"),
+        F.sum(not_short(F.lit(1))).alias("usage_raw"),
+        F.sum(not_short(real.cast("int"))).alias("usage_real"),
+        F.sum(not_short(F.col("weight"))).alias("usage_weighted"),
+        F.sum(not_short(win.cast("int"))).alias("win_raw"),
+        F.sum(not_short(F.when(win, F.col("weight")).otherwise(0.0)))
+            .alias("win_weighted"),
+    ))
+
+
 def usage_totals(usage_species: DataFrame) -> DataFrame:
     """Global usage/win counters per (format, cutoff) — derived from the
     species-level aggregate instead of rescanning mons."""

@@ -453,6 +453,11 @@ def parse_battles(transcripts, conversations, dims_payload: dict | None = None):
                   .replace(f"p2_team array<struct<{TEAM_FIELDS}>>", "p2_team string")
                   .replace("matchups array<struct<a:string,b:string,outcome:int>>",
                            "matchups string"))
+    # The joined rows are tiny by bytes but expensive by CPU (the FSM) —
+    # AQE would coalesce them onto one or two tasks.  Spread explicitly
+    # across the cluster before entering Python.
+    sc = joined.sparkSession.sparkContext
+    joined = joined.repartition(sc.defaultParallelism * 3)
     out = joined.mapInPandas(fn, schema=raw_schema)
     team_t = f"array<struct<{TEAM_FIELDS}>>"
     return (out

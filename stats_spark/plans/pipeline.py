@@ -77,10 +77,19 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     sides_w, battles_w) — every sink reuses them instead of re-running
     the enrichment; use when materializing several sinks in one job."""
     ok = enrich.accepted_battles(battles)
+    # battles is compact on disk (a 150k-conversation checkpoint is a
+    # few dozen MB) so the scan yields only 1-2 input partitions — but
+    # each row fans out ×48 downstream (2 sides × 6 mons × 4 cutoffs).
+    # Re-spread by bytes-cheap shuffle so every later stage parallelizes.
+    ok = ok.repartition(battles.sparkSession.sparkContext.defaultParallelism * 2)
     sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
     mons = enrich.enrich_mons(sides, spark)
     side_class = enrich.classify_sides(mons)
 
+    # side tags ride along on every mon row so the A13 tag fan-out is a
+    # plain explode downstream (single pass for total + all tag shards)
+    mons = mons.join(side_class.select("conv_id", "side", "tags"),
+                     ["conv_id", "side"])
     mons_w = enrich.with_weight(enrich.explode_cutoffs(mons, cutoffs))
     sides_w = enrich.with_weight(enrich.explode_cutoffs(
         sides.join(side_class, ["conv_id", "side"]), cutoffs))
@@ -93,7 +102,7 @@ def build_frames(spark: SparkSession, battles: DataFrame,
             "format", "cutoff", "species", "player", "weight",
             "rating_valid", "short", "outcome", "turns_out", "gxe",
             "ability", "item", "tera_type", "happiness", "spread",
-            "stats_str", "moves").cache()
+            "stats_str", "moves", "tags").cache()
         sides_w = sides_w.select(
             "conv_id", "format", "cutoff", "side", "weight", "short",
             "team", "team_size", "tags", "team_stalliness").cache()
@@ -102,10 +111,13 @@ def build_frames(spark: SparkSession, battles: DataFrame,
             "lead_p1", "lead_p2", "w_p1", "w_p2", "matchups").cache()
 
     usage = agg.usage_by_species(mons_w)
+    usage_tagged = agg.usage_by_species_tagged(agg.with_tag_dimension(mons_w))
     frames = dict(
+        _mons_w=mons_w, _sides_w=sides_w, _battles_w=battles_w,
         battles=battles,
         rejects=enrich.rejected_battles(battles),
         usage=usage,
+        usage_tagged=usage_tagged,
         usage_totals=agg.usage_totals(usage),
         moveset=agg.moveset_maps(mons_w),
         teammates=agg.teammates(sides_w),
@@ -120,14 +132,16 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     return frames
 
 
-SINKS = ["usage", "usage_totals", "moveset", "teammates", "encounters",
-         "leads", "battle_counts", "metagame", "stalliness", "viability"]
+SINKS = ["usage", "usage_tagged", "usage_totals", "moveset", "teammates",
+         "encounters", "leads", "battle_counts", "metagame", "stalliness",
+         "viability"]
 
 
 def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                  cutoffs: list[int] = dims.DEFAULT_CUTOFFS,
                  checkpoint_battles: bool = True,
-                 sinks: list[str] | None = None) -> dict:
+                 sinks: list[str] | None = None,
+                 count_rows: bool = True) -> dict:
     """Full job: scan → parse → enrich → aggregate → ROUTE to per-sink
     partitioned parquet trees + lineage records.  Returns metrics."""
     t0 = time.time()
@@ -139,26 +153,41 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         # S5 checkpoint: compact columnar intermediate, partitioned on
         # the routing key; downstream stages re-read it (resume point).
         bpath = os.path.join(out_dir, "battles")
-        (battles.write.mode("overwrite").partitionBy("format")
+        n_out = max(8, spark.sparkContext.defaultParallelism // 2)
+        (battles.repartition(n_out, "format", "conv_id")
+         .write.mode("overwrite").partitionBy("format")
          .parquet(bpath))
         battles = spark.read.parquet(bpath)
     t_parse = time.time() - t0
 
     frames = build_frames(spark, battles, cutoffs, cache=True)
-    metrics = []
-    for sink in (sinks or SINKS):
+
+    # materialize the shared cached intermediates once, up front — the
+    # parallel sink writers then all hit the cache instead of racing to
+    # compute it
+    for k in ("_mons_w", "_sides_w", "_battles_w"):
+        frames[k].count()
+
+    def write_one(sink: str) -> dict:
         ts = time.time()
         df = frames[sink]
         part = ("format", "cutoff") if "cutoff" in df.columns else ("format",)
         path = tables.write_routed(df, out_dir, sink, partition_cols=part)
-        metrics.append(dict(partition=sink, path=path,
-                            rows=spark.read.parquet(path).count(),
-                            seconds=round(time.time() - ts, 2)))
+        rows = spark.read.parquet(path).count() if count_rows else -1
+        return dict(partition=sink, path=path, rows=rows,
+                    seconds=round(time.time() - ts, 2))
+
+    # the sinks are many *small* jobs — submit them concurrently so
+    # scheduling overhead overlaps and the executors stay saturated
+    # (Spark's scheduler interleaves jobs from multiple threads)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        metrics = list(pool.map(write_one, sinks or SINKS))
     # dead-letter route — P8 rejects
     rej = frames["rejects"].select("conv_id", "format", "day", "error", "ts")
     rej.write.mode("overwrite").parquet(os.path.join(out_dir, "rejects"))
     metrics.append(dict(partition="rejects", path=os.path.join(out_dir, "rejects"),
-                        rows=rej.count(), seconds=0.0))
+                        rows=rej.count() if count_rows else -1, seconds=0.0))
     tables.write_lineage(spark, out_dir, "stats_pipeline", metrics)
     return dict(seconds=time.time() - t0, parse_seconds=round(t_parse, 2),
                 sinks=metrics)

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("STATS_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle spill dir: this host's overlay /tmp serializes under
+        # 32 concurrent writers (measured 2-4x sink slowdowns); tmpfs
+        # restores scaling.  On a real cluster this is the executors'
+        # local NVMe (spark.local.dir set by the cluster manager).
+        .config("spark.local.dir",
+                os.environ.get("STATS_SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

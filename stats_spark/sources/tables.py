@@ -49,6 +49,11 @@ def write_routed(df: DataFrame, out_dir: str, sink: str,
     With Iceberg on the classpath this would be
     ``df.writeTo(table).partitionedBy(...)`` + snapshot commit."""
     path = os.path.join(out_dir, sink)
+    # cluster rows by the routing keys first so each partition directory
+    # gets ONE file instead of one per task — thousands of tiny files
+    # serialize on the driver's single-threaded commit and crush read
+    # performance at scale (the classic small-files problem)
+    df = df.repartition(*[F.col(c) for c in partition_cols])
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

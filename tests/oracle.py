@@ -170,6 +170,7 @@ class OracleStats:
         self.cutoffs = cutoffs
         dd = defaultdict
         self.usage = dd(lambda: dd(float))          # (f,c,species) -> counters
+        self.usage_tagged = dd(lambda: dd(float))   # (f,c,tag,species)
         self.totals = dd(lambda: dd(float))         # (f,c) -> counters
         self.moveset = dd(lambda: [0.0, 0])         # (f,c,sp,section,key) -> [w, raw]
         self.teammates = dd(float)                  # (f,c,a,b) -> w
@@ -222,6 +223,18 @@ class OracleStats:
                     u = self.usage[(fmt, c, sp)]
                     u["raw_count"] += 1
                     u["raw_weight"] += w
+                    for t in ["total"] + tags:
+                        ut = self.usage_tagged[(fmt, c, t, sp)]
+                        ut["raw_count"] += 1
+                        ut["raw_weight"] += w
+                        if not short:
+                            ut["usage_raw"] += 1
+                            ut["usage_weighted"] += w
+                            if mon["turns_out"] > 0:
+                                ut["usage_real"] += 1
+                            if win:
+                                ut["win_raw"] += 1
+                                ut["win_weighted"] += w
                     if valid:
                         u["saved_count"] += 1
                         u["saved_weight"] += w

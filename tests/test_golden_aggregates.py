@@ -57,6 +57,21 @@ def test_usage(frames, gold):
     approx_map_equal(got, want, "usage")
 
 
+def test_usage_tagged(frames, gold):
+    pdf = frames["usage_tagged"].toPandas()
+    cols = ["raw_count", "raw_weight", "usage_raw", "usage_real",
+            "usage_weighted", "win_raw", "win_weighted"]
+    got = {(r.format, r.cutoff, r.tag, r.species):
+           tuple(getattr(r, c) for c in cols) for r in pdf.itertuples()}
+    want = {k: tuple(v.get(c, 0) for c in cols)
+            for k, v in gold.usage_tagged.items()}
+    approx_map_equal(got, want, "usage_tagged")
+    # the 'total' shard must equal the untagged usage frame
+    u = frames["usage"].toPandas()
+    for r in u.itertuples():
+        assert got[(r.format, r.cutoff, "total", r.species)][0] == r.raw_count
+
+
 def test_usage_totals(frames, gold):
     pdf = frames["usage_totals"].toPandas()
     cols = ["usage_raw", "usage_real", "usage_weighted",
