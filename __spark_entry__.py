@@ -43,13 +43,34 @@ def _corpus() -> dict:
     return corpus.ensure_corpus("t2")
 
 
+def _parse_version() -> str:
+    """Cache key covering everything that shapes the parsed battles:
+    the parser + dims code and the corpus generation marker.  A stale
+    cache from an older code version must never feed the driver gate."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel in ("stats_spark/operators/parse.py",
+                "stats_spark/functions/ids.py",
+                "stats_spark/datagen/dims.py"):
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+    marker = os.path.join(T2_DIR, "_DONE")
+    if os.path.exists(marker):
+        with open(marker, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _battles(spark: SparkSession) -> DataFrame:
-    """Parse once per corpus, cache as parquet (the S5 checkpoint)."""
+    """Parse once per (corpus, code version), cache as parquet (the S5
+    checkpoint).  The path embeds a code+corpus hash so a parser change
+    or regenerated corpus invalidates the cache automatically."""
     from stats_spark.operators.parse import parse_battles
     from stats_spark.sources import tables
 
     c = _corpus()
-    path = os.path.join(T2_DIR, "battles_cache")
+    path = os.path.join(T2_DIR, f"battles_cache_{_parse_version()}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tr = tables.load_transcripts(spark, c)
         cv = tables.load_conversations(spark, c)
@@ -252,6 +273,11 @@ def q_events_hourly(spark, sf_dir):
 
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
+    # events.parquet stores naive timestamp[us]; unix_micros(ts) depends
+    # on the session time zone (incl. DST nonlinearity).  Pin UTC here so
+    # the session-gap arithmetic matches DuckDB's naive epoch_us()
+    # regardless of how the harness constructed the SparkSession.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _tpch(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -337,7 +363,9 @@ def emb_dup_pairs(spark, sf_dir):
     from stats_spark.operators import dedup
     emb = _tpch(spark, sf_dir, "embeddings")
     # synthetic embeddings top out at cosine ≈0.51 — 0.45 exercises the
-    # operator with a non-trivial (but small) result set
+    # operator with a non-trivial (but small) result set.  Candidates
+    # come from multi-band hyperplane LSH (equi-join, never O(n²)); the
+    # oracle reproduces the same seed-deterministic planes.
     return dedup.embedding_dup_pairs(emb, threshold=0.45)
 
 
@@ -656,7 +684,8 @@ def oracle_sql() -> dict[str, str]:
                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events)
-      SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+      SELECT user_id, count(*) AS n_events,
+             sum(new_session)::BIGINT AS n_sessions
       FROM g GROUP BY 1"""
 
     # documents --------------------------------------------------------
@@ -699,8 +728,11 @@ def oracle_sql() -> dict[str, str]:
       FROM documents GROUP BY md5(text) HAVING count(*) > 1"""
 
     sql["doc_ngram_jaccard"] = f"""
-      WITH sh AS (
+      WITH sh0 AS (
         SELECT doc_id AS id, unnest({_shingles(3)}) AS sh FROM documents),
+      sh AS (  -- hot-shingle document-frequency cap (max_df=1000)
+        SELECT id, sh FROM sh0
+        WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
       sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
       inter AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -740,7 +772,8 @@ def oracle_sql() -> dict[str, str]:
         FROM t CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
         GROUP BY 1, 2)
       SELECT id AS doc_id,
-             sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+               AS simhash
       FROM bits GROUP BY 1"""
 
     # embeddings -------------------------------------------------------
@@ -761,11 +794,39 @@ def oracle_sql() -> dict[str, str]:
         FROM scored)
       WHERE rank <= 5"""
 
+    # mirror the Spark operator's multi-band hyperplane LSH gating: the
+    # planes are seed-deterministic (similarity.band_planes), so DuckDB
+    # recomputes the exact bucket keys and the exact candidate set
+    from stats_spark.operators.similarity import band_planes as _bp
+    tensor = _bp(8, 2, 64, 7)
+    vdot = "list_dot_product(vec, [{lits}])"
+    band_keys = []
+    for bi in range(tensor.shape[0]):
+        bits = " || ".join(
+            "(CASE WHEN " + vdot.format(
+                lits=", ".join(repr(float(x)) for x in p))
+            + " >= 0 THEN '1' ELSE '0' END)"
+            for p in tensor[bi])
+        band_keys.append(f"struct_pack(band := {bi}, key := ({bits}))")
     sql["emb_dup_pairs"] = f"""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round({dot} / ({norm('a')} * {norm('b')}), 6) AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE round({dot} / ({norm('a')} * {norm('b')}), 6) >= 0.45"""
+      WITH n AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> x::DOUBLE) AS vec
+        FROM embeddings),
+      nn AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM n),
+      buckets AS (
+        SELECT id, b.band AS band, b.key AS key
+        FROM (SELECT id, unnest([{", ".join(band_keys)}]) AS b FROM nn)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+      SELECT id_a, id_b,
+             round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6)
+               AS cosine
+      FROM cand JOIN nn x ON x.id = id_a JOIN nn y ON y.id = id_b
+      WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6)
+            >= 0.45"""
 
     # transcripts ------------------------------------------------------
     sql["tr_line_type_counts"] = f"""
@@ -777,18 +838,23 @@ def oracle_sql() -> dict[str, str]:
              max(turns) AS max_turns
       FROM {CV} GROUP BY 1"""
 
+    # group key is to_id(name) — the Spark side groups the parser's
+    # normalized p1_name/p2_name (parse.py builds them with to_id_py);
+    # winner comparison stays on the RAW name (the |win| line match)
+    toid_p = "regexp_replace(lower({0}), '[^a-z0-9]+', '', 'g')"
     sql["tr_player_wins"] = f"""
       WITH {_rejects_cte()},
       s AS (
-        SELECT p1 AS player,
+        SELECT {toid_p.format('p1')} AS player,
                CASE WHEN winner = p1 THEN 1 ELSE 0 END AS win,
                CASE WHEN winner <> p1 AND winner <> p2 THEN 1 ELSE 0 END AS tie
         FROM {CV} WHERE conv_id NOT IN (SELECT conv_id FROM rejects)
         UNION ALL
-        SELECT p2, CASE WHEN winner = p2 THEN 1 ELSE 0 END,
+        SELECT {toid_p.format('p2')}, CASE WHEN winner = p2 THEN 1 ELSE 0 END,
                CASE WHEN winner <> p1 AND winner <> p2 THEN 1 ELSE 0 END
         FROM {CV} WHERE conv_id NOT IN (SELECT conv_id FROM rejects))
-      SELECT player, count(*) AS games, sum(win) AS wins, sum(tie) AS ties
+      SELECT player, count(*) AS games, sum(win)::BIGINT AS wins,
+             sum(tie)::BIGINT AS ties
       FROM s GROUP BY 1
       ORDER BY games DESC, wins DESC, player ASC LIMIT 100"""
 

@@ -22,6 +22,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    import numpy as np
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -54,8 +57,16 @@ def main():
     e = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(e)
 
-    from stats_spark.session import get_spark
-    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    # Emulate the DRIVER's session, not our own get_spark(): the driver
+    # builds a plain session (no UTC pin), so queries must be
+    # tz-independent on their own.  Pin a non-UTC zone to prove it.
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("oracle-check")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "America/New_York")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -82,7 +93,11 @@ def main():
         try:
             res = con.execute(osql[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # go through pandas like the driver does — DuckDB HUGEINT
+            # (integer sum()) degrades to float64 here, which is exactly
+            # the lossy path that broke doc_simhash in round 1
+            opdf = res.df()
+            orows = [tuple(r) for r in opdf.itertuples(index=False)]
         except Exception as ex:
             print(f"{name}: ORACLE ERROR {str(ex)[:300]}")
             failures += 1

@@ -47,10 +47,22 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", w: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.  The shingle
-    equi-join generates only candidate pairs that share ≥1 shingle."""
-    sh = doc_shingles(docs, text_col, id_col, w).cache()
+    equi-join generates only candidate pairs that share ≥1 shingle.
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE the self-join — a hot shingle ("the end") otherwise creates
+    a quadratic bucket at corpus scale.  Jaccard is then computed over
+    the capped shingle sets (sizes and intersections consistently), the
+    standard stop-shingle treatment in web-scale dedup pipelines."""
+    sh = doc_shingles(docs, text_col, id_col, w)
+    if max_df is not None:
+        rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("sh"))
+        sh = sh.join(rare, "sh")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -114,33 +126,62 @@ def simhash64(docs: DataFrame, text_col: str = "text",
                         F.explode(F.array_distinct(T.word_tokens(text_col)))
                          .alias("tok"))
             .withColumn("h", T.md5_long("tok")))
-    bits = toks.select(
-        "id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(HASH_BITS - 1))).alias("b"))
-    # shiftright/shiftleft take only literal counts in the Python DSL —
-    # use SQL exprs for column-valued shift amounts
-    signed = F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-    return (bits.withColumn("s", signed)
-            .groupBy("id", "b").agg(F.sum("s").alias("v"))
-            .groupBy("id")
-            .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)"))
-                        .otherwise(F.lit(0))).alias("simhash")))
+    # one sum per bit position in a SINGLE groupBy over the token rows —
+    # no 60× bit-explode (the row inflation the naive formulation pays)
+    sums = [F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
+             .alias(f"v{b}") for b in range(HASH_BITS)]
+    agg = toks.groupBy("id").agg(*sums)
+    sim = None
+    for b in range(HASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
 
 
 def embedding_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
-                        id_col: str = "vec_id",
-                        threshold: float = 0.95) -> DataFrame:
-    """Near-duplicate vectors: cosine ≥ threshold.  Brute-force scoring
-    with pre-normalized vectors; at scale, gate with LSH buckets first
-    (see similarity.lsh_buckets)."""
-    from stats_spark.operators.similarity import with_norm, dot
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        n_bands: int = 8, planes_per_band: int = 2,
+                        dim: int = 64, seed: int = 7,
+                        exact: bool = False) -> DataFrame:
+    """Near-duplicate vectors: cosine ≥ threshold among multi-band LSH
+    candidates.  Candidate generation is an equi-join on (band, bucket
+    key) — never an O(n²) cross join — then exact cosine rescoring
+    within buckets.  Recall < 1 by design (tunable via n_bands); the
+    planes are seed-deterministic so an external oracle can reproduce
+    the candidate set bit-for-bit.
 
-    n = with_norm(emb, vec_col, id_col)
-    a, b = n.alias("a"), n.alias("b")
+    ``exact=True`` keeps the brute-force all-pairs path — the small-n
+    test oracle for measuring the LSH recall, NOT a scale path."""
+    from stats_spark.operators.similarity import (with_norm, dot,
+                                                  lsh_band_buckets)
+
+    if exact:
+        n = with_norm(emb, vec_col, id_col)
+        a, b = n.alias("a"), n.alias("b")
+        cos = (dot(F.col("a.vec"), F.col("b.vec"))
+               / (F.col("a.norm") * F.col("b.norm")))
+        return (a.join(b, F.col("a.id") < F.col("b.id"))
+                .withColumn("cosine", F.round(cos, 6))
+                .filter(F.col("cosine") >= threshold)
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"), "cosine"))
+
+    bk = lsh_band_buckets(emb, n_bands, planes_per_band, dim,
+                          vec_col, id_col, seed)
+    a, b = bk.alias("a"), bk.alias("b")
     cos = (dot(F.col("a.vec"), F.col("b.vec"))
            / (F.col("a.norm") * F.col("b.norm")))
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-            .withColumn("cosine", F.round(cos, 6))
-            .filter(F.col("cosine") >= threshold)
+    # same-bucket equi-join; a pair sharing several bands appears once
+    # (distinct on the pair key before scoring keeps rescoring minimal)
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    "cosine"))
+                    F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
+                    F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    return (cand.withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

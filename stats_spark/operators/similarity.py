@@ -73,6 +73,39 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 12, dim: int = 64,
     return corpus.withColumn("bucket", F.concat(*bits)).select("id", "bucket")
 
 
+def band_planes(n_bands: int, band_planes: int, dim: int,
+                seed: int = 7) -> np.ndarray:
+    """Deterministic (n_bands, band_planes, dim) hyperplane tensor for
+    multi-band LSH — seed-derived so an external oracle can reproduce
+    the exact bucket keys."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bands, band_planes, dim))
+
+
+def lsh_band_buckets(emb: DataFrame, n_bands: int = 8, planes_per_band: int = 2,
+                     dim: int = 64, vec_col: str = "embedding",
+                     id_col: str = "vec_id", seed: int = 7) -> DataFrame:
+    """Multi-band random-hyperplane LSH: per band, the bucket key is the
+    concatenated sign bits of <v, plane_j>.  Vectors sharing ANY band
+    bucket become candidates — recall grows with n_bands while each
+    band's join stays selective (the minhash banding trick applied to
+    cosine space).  Output: (id, vec, norm, band, key)."""
+    tensor = band_planes(n_bands, planes_per_band, dim, seed)
+    corpus = with_norm(emb, vec_col, id_col)
+    bands = []
+    for bi in range(n_bands):
+        bits = []
+        for p in tensor[bi]:
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(F.when(dot(F.col("vec"), plane) >= 0, F.lit("1"))
+                         .otherwise(F.lit("0")))
+        bands.append(F.struct(F.lit(bi).alias("band"),
+                              F.concat(*bits).alias("key")))
+    return (corpus.withColumn("b", F.explode(F.array(*bands)))
+            .select("id", "vec", "norm",
+                    F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+
+
 def ann_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, dim: int = 64,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -86,6 +86,50 @@ def test_ann_subset_of_exact(spark):
             assert r.cosine == ex[(r.q_id, r.neighbor_id)]
 
 
+def test_embedding_dup_lsh_recall(spark):
+    """The LSH-gated near-dup path must (a) plan an equi-join, never a
+    cartesian, (b) return a subset of the brute-force pairs with
+    identical cosines, (c) keep recall high at the operating point."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = []
+    # 40 random vectors + 20 planted near-duplicates of the first 20
+    base = rng.standard_normal((40, 64))
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20):
+        v = base[i] + 0.05 * rng.standard_normal(64)
+        rows.append((100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r.id_a, r.id_b): r.cosine for r in
+             dedup.embedding_dup_pairs(emb, threshold=0.9, exact=True)
+             .collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in
+           dedup.embedding_dup_pairs(emb, threshold=0.9).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert len(lsh) >= 0.9 * len(exact) > 0
+
+    plan = dedup.embedding_dup_pairs(emb, threshold=0.9) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_ngram_jaccard_df_cap(docs):
+    """Capped vs uncapped results identical when no shingle is hot."""
+    capped = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2).collect()))
+    uncapped = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_df=None).collect()))
+    assert capped == uncapped
+    # with a df cap of 1 every shared shingle is dropped → no pairs
+    # except exact dups sharing only unique-to-pair shingles
+    tiny = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_df=1).collect()
+    assert all(r.id_a != 0 or r.id_b != 1 for r in tiny) or not tiny
+
+
 def test_multimodal_features(spark):
     media = multimodal.synth_media(spark, n=12)
     feats = multimodal.extract_features(media)
