@@ -49,7 +49,10 @@ STAT_KEYS = ["hp", "atk", "def", "spa", "spd", "spe"]
 ROAR_MOVES = {"gustoff", "vortexpull", "tailtoss"}
 UTURN_MOVES = {"dashback", "sparkswap", "relaypass"}
 
-# classifier-ish move categories (classifier.ts:518-767 analog)
+# classifier-ish move categories (classifier.ts:518-767 analog).
+# Still used by the corpus generator and the parser flag sets; the
+# classifier now derives its 13 category tables from move ATTRIBUTES
+# (classifier.derive_move_tables — the C6 data-driven path).
 MOVE_CATEGORIES = {
     "recovery": {"mendwound", "softglow", "rootsiphon"},
     "protection": {"wardveil", "mirrorguard"},
@@ -58,6 +61,74 @@ MOVE_CATEGORIES = {
     "pivot": UTURN_MOVES,
     "sleep": {"dozeweave"},
     "paralysis": {"staticweb"},
+}
+
+# Named single-move roles the classifier checks literally
+# (classifier.ts:479-516 movesStallinessModifier + :203-306 tag()),
+# mapped onto our fictional move universe.  One role per move id.
+MOVE_ROLES = {
+    "venomsurge": "toxic",          # +1.0
+    "stonelance": "spikes",         # +0.5, grounded hazard
+    "venomcrush": "toxicspikes",    # +0.5, grounded hazard
+    "embergale": "willowisp",       # +0.5
+    "gleamhowl": "psychoshift",     # +0.5
+    "gleamsurge": "healbell",       # +0.5
+    "frostwave": "haze",            # +0.5
+    "shadowwave": "substitute",     # -0.5, baton-passable
+    "wildcrush": "superfang",       # -0.5
+    "gleamstrike": "trick",         # -0.5
+    "wildburst": "endeavor",        # -1.0, fear combo
+    "twinhowl": "bellydrum",        # -2.0
+    "stonehowl": "shellsmash",      # -1.5
+    "wildwave": "raindance",
+    "emberburst": "sunnyday",
+    "stonecrush": "sandstorm",      # +0.5 weather combo
+    "frosthowl": "hail",            # +0.5 weather combo
+    "gleamcrush": "gravity",
+    "gleamburst": "trickroom",
+    "shadowburst": "imprison",
+    "irongale": "tailwind",
+    "twinslash": "rapidspin",       # hazard clearance
+    "relaypass": "batonpass",       # (already the pivot trio's 3rd move)
+    "twinbolt": "swagger",          # confusion + swagplay
+    "shadowfang": "foulplay",       # swagplay
+    "gleamgale": "recycle",         # +1.0 harvest combo
+    "shadowsurge": "destinybond",   # greater offensive
+    "embercrush": "selfdestruct",   # greater offensive
+    "shadowgale": "meanlook",       # trapping move
+    "venomgale": "block",           # trapping move
+    "wildlance": "ohko",            # guillotine analog
+}
+
+# ability classifier attributes — classifier.ts:109, 194, 395-416
+ABILITY_ATTRS = {
+    # ability_id: (stall_class, flags)
+    "steadfastcore": ("neutral", {"clearance"}),      # magicbounce analog
+    "stormcall": ("neutral", {"weather_rain"}),       # drizzle analog
+    "thickhide": ("lesser_def", set()),
+    "quickwit": ("neutral", {"setup"}),               # speedboost analog
+    "regrowth": ("greater_def", {"harvest"}),         # harvest analog
+    "nightveil": ("neutral", {"trapping"}),           # shadowtag analog
+    "sandrush": ("lesser_off", set()),                # per the reference list
+    "flareheart": ("greater_off", set()),
+    "unknown": ("neutral", set()),
+    "megapower": ("neutral", set()),
+}
+
+# item classifier attributes — classifier.ts:420-477
+ITEM_ATTRS = {
+    # item_id: (stall_mod, flags)
+    "nothing": (0.0, set()),
+    "redcard": (0.0, set()),
+    "ejectbutton": (-0.5, {"voltturn"}),              # GREATER_BOOSTING member
+    "everlast": (-0.5, {"choice"}),                   # choiceband analog
+    "focusband": (-0.5, {"choice", "sash"}),          # choicescarf/focussash
+    "glowdust": (-0.5, {"choice"}),                   # choicespecs analog
+    "sharpclaw": (-0.25, set()),                      # LESSER_BOOSTING
+    "mistherb": (-1.0, set()),                        # lightclay analog
+    "heavyplate": (0.5, set()),                       # eviolite analog
+    "swiftorb": (-0.5, set()),                        # GREATER_BOOSTING
+    "leechseedling": (0.0, {"rock_rain"}),            # damprock analog
 }
 
 _SYL_A = ["var", "mor", "tel", "zan", "qui", "fen", "lor", "dra", "pel", "nox",
@@ -139,6 +210,122 @@ def moves_table() -> pd.DataFrame:
             category_flags=flags,
         ))
     return pd.DataFrame(rows)
+
+
+_MOVE_ATTR_DEFAULTS = dict(
+    type="normal", base_power=0, accuracy=101, target="normal",
+    boost_atk=0, boost_spa=0, boost_spe=0, boost_def=0, boost_spd=0,
+    boost_eva=0, sec_chance=0, sec_self_boost=False, sec_status=None,
+    sec_volatile=None, status=None, volatile=None, heal=False,
+    selfdestruct=False, stalling=False, force_switch=False, ohko=False,
+    recoil=False, crash=False, locked=False, drop_def=False, hazard=False,
+    weather=None,
+)
+
+# hand-assigned mechanical attributes for category + role moves — chosen
+# so classifier.derive_move_tables() reproduces each move's intended
+# category through the reference's derivation predicates
+# (classifier.ts:524-762), not through a hardcoded list.
+_MOVE_ATTRS: dict[str, dict] = {
+    # recovery (heal, self-target, no selfdestruct)
+    "mendwound": dict(heal=True, target="self"),
+    "softglow": dict(heal=True, target="self"),
+    "rootsiphon": dict(heal=True, target="allies"),
+    # protection (stalling moves)
+    "wardveil": dict(stalling=True, target="self"),
+    "mirrorguard": dict(stalling=True, target="self"),
+    # setup: two greater (multi-stage attack boost), two lesser
+    "bladedance": dict(boost_atk=2, target="self"),
+    "mindamp": dict(boost_spa=2, target="self"),
+    "ironfocus": dict(boost_atk=1, target="self"),
+    "quickstep": dict(boost_spe=1, target="self"),
+    # phazing (force switch)
+    "gustoff": dict(force_switch=True),
+    "vortexpull": dict(force_switch=True),
+    "tailtoss": dict(force_switch=True),
+    # pivot attacks (the parser's UTURN set)
+    "dashback": dict(base_power=70, accuracy=100, type="bug"),
+    "sparkswap": dict(base_power=70, accuracy=100, type="electric"),
+    "relaypass": dict(target="self"),   # batonpass analog
+    # status movs
+    "dozeweave": dict(status="slp", accuracy=75),
+    "staticweb": dict(status="par", accuracy=90),
+    # role moves
+    "venomsurge": dict(status="tox", accuracy=90),
+    "stonelance": dict(hazard=True, target="foeSide", type="rock"),
+    "venomcrush": dict(hazard=True, target="foeSide", type="poison"),
+    "embergale": dict(status="brn", accuracy=75, type="fire"),
+    "gleamhowl": dict(accuracy=100),
+    "gleamsurge": dict(target="allies"),
+    "frostwave": dict(target="all", type="ice"),
+    "shadowwave": dict(target="self", type="ghost"),
+    "wildcrush": dict(base_power=1, accuracy=90),
+    "gleamstrike": dict(accuracy=100),
+    "wildburst": dict(base_power=1, accuracy=100),
+    "twinhowl": dict(target="self"),
+    "stonehowl": dict(boost_atk=2, boost_spa=2, boost_spe=2, drop_def=True,
+                      target="self", type="rock"),
+    "wildwave": dict(weather="rain", target="all", type="water"),
+    "emberburst": dict(weather="sun", target="all", type="fire"),
+    "stonecrush": dict(weather="sand", target="all", type="rock"),
+    "frosthowl": dict(weather="hail", target="all", type="ice"),
+    "gleamcrush": dict(target="all"),
+    "gleamburst": dict(target="all", type="psychic"),
+    "shadowburst": dict(target="self", type="ghost"),
+    "irongale": dict(boost_spe=1, target="allies", type="flying"),
+    "twinslash": dict(base_power=50, accuracy=100),
+    "twinbolt": dict(volatile="confusion", accuracy=85, type="electric"),
+    "shadowfang": dict(base_power=95, accuracy=100, type="dark"),
+    "gleamgale": dict(target="self"),
+    "shadowsurge": dict(target="self", type="ghost"),
+    "embercrush": dict(selfdestruct=True, base_power=200, type="fire"),
+    "shadowgale": dict(type="ghost"),
+    "venomgale": dict(type="poison"),
+    "wildlance": dict(ohko=True, base_power=1, accuracy=30),
+}
+
+
+@lru_cache(maxsize=1)
+def move_attributes() -> pd.DataFrame:
+    """dim_moves with full mechanical attributes — the analog of the
+    ``@pkmn/data`` Move objects that classifier.ts:524-762 derives its
+    13 category tables from.  Hand-assigned for category/role moves;
+    seeded-random (separate stream, existing ids untouched) for the
+    generic attack moves."""
+    mt = moves_table()
+    rng = np.random.default_rng(np.random.SeedSequence([SEED, 777]))
+    attack_types = ["normal", "fire", "water", "electric", "grass", "ice",
+                    "ground", "rock", "steel", "dark"]
+    rows = []
+    for mid in mt.move_id:
+        row = dict(_MOVE_ATTR_DEFAULTS)
+        row["move_id"] = mid
+        row["role"] = MOVE_ROLES.get(mid)
+        if mid in _MOVE_ATTRS:
+            row.update(_MOVE_ATTRS[mid])
+        else:
+            # generic attack move: seeded attributes
+            row["type"] = attack_types[int(rng.integers(len(attack_types)))]
+            row["base_power"] = int(rng.integers(8, 25)) * 5
+            row["accuracy"] = [70, 75, 80, 85, 90, 95, 100, 100, 100, 101][
+                int(rng.integers(10))]
+            r = rng.random()
+            if r < 0.12:
+                row["recoil"] = True
+            elif r < 0.17:
+                row["crash"] = True
+            elif r < 0.22:
+                row["locked"] = True
+            elif r < 0.30:
+                row["sec_self_boost"] = True
+                row["sec_chance"] = 50 if rng.random() < 0.5 else 100
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+@lru_cache(maxsize=1)
+def move_attr_dict() -> dict[str, dict]:
+    return {r["move_id"]: r for r in move_attributes().to_dict("records")}
 
 
 @lru_cache(maxsize=1)

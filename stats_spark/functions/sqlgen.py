@@ -59,7 +59,10 @@ def erf_sql(x: str) -> str:
     y = ax
     num1 = _horner(_C[8], _C[0:7], y, _C[7])
     den1 = _horner("1.0", _D[0:7], y, _D[7])
-    ysq1 = f"(floor({y} * 16.0) / 16.0)"
+    # CAST keeps the division in DOUBLE on Spark, where floor() returns
+    # BIGINT and 16.0 parses as DECIMAL (BIGINT/DECIMAL would silently
+    # round the quotient to 6 decimal places); DuckDB is unaffected
+    ysq1 = f"(CAST(floor({y} * 16.0) AS DOUBLE) / 16.0)"
     erfc1 = (f"(exp(-{ysq1} * {ysq1}) * exp(-(({y} - {ysq1}) * ({y} + {ysq1})))"
              f" * ({num1} / {den1}))")
     branch1 = f"(CASE WHEN {x} >= 0 THEN 1.0 - {erfc1} ELSE {erfc1} - 1.0 END)"

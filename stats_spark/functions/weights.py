@@ -78,3 +78,25 @@ def weighting_udf(rpr: pd.Series, rprd: pd.Series, cutoff: pd.Series) -> pd.Seri
 @F.pandas_udf(DoubleType())
 def gxe_udf(rpr: pd.Series, rprd: pd.Series) -> pd.Series:
     return pd.Series(gxe_np(rpr.to_numpy(), rprd.to_numpy()))
+
+
+def weighting_expr(rpr_col: str, rprd_col: str, cutoff_col: str) -> F.Column:
+    """JVM-side erf weighting: the same Cody rational-Chebyshev erf the
+    numpy path uses, emitted as a Spark SQL expression (sqlgen mirrors
+    the SPECFUN evaluation order, so results agree with weighting_np to
+    the last ulp of exp()).  Keeps the hot mons×cutoffs frame entirely
+    inside whole-stage codegen — no Arrow round-trip."""
+    from stats_spark.functions import sqlgen
+    return F.expr(sqlgen.weighting_sql(
+        rpr_col, rprd_col, f"CAST({cutoff_col} AS DOUBLE)"))
+
+
+def gxe_expr(rpr_col: str, rprd_col: str) -> F.Column:
+    """JVM-side GXE: floor(100 * victoryChance(r, d, 1500, 130) + 0.5)
+    (stats.ts:141-143), plain column math."""
+    c = (3.0 * float(np.log(10.0)) ** 2) / (400.0 * float(np.pi)) ** 2
+    r, d = F.col(rpr_col), F.col(rprd_col)
+    dd = d * d + 130.0 * 130.0
+    vc = 1.0 / (F.pow(F.lit(10.0), (1500.0 - r) / 400.0
+                      / F.sqrt(1.0 + F.lit(c) * dd)) + 1.0)
+    return F.floor(100.0 * vc + 0.5)

@@ -205,13 +205,22 @@ def metagame(sides_w: DataFrame) -> DataFrame:
             .groupBy(*GK, "tag").agg(F.sum("w").alias("weight")))
 
 
+STALLINESS_GRID = 1e-4
+
+
 def stalliness_samples(sides_w: DataFrame) -> DataFrame:
-    """A10 stalliness distribution, pre-binned at source granularity:
+    """A10 stalliness distribution, binned to a fixed 1e-4 grid:
     (value, summed weight) — scales unlike the reference's in-memory
-    sample list (its known hot spot, FAQ.md:85-90)."""
+    sample list (its known hot spot, FAQ.md:85-90).  Raw-float grouping
+    would make cardinality ≈ distinct teams; the W8 histogram re-bins
+    far coarser than 1e-4 anyway, so the grid is lossless downstream.
+    floor(x/g + 0.5)*g is half-up toward +inf on both engines (JS
+    Math.round semantics)."""
+    binned = (F.floor(F.col("team_stalliness") / STALLINESS_GRID + 0.5)
+              * STALLINESS_GRID)
     return (sides_w
             .filter(~F.col("short"))
-            .groupBy(*GK, F.col("team_stalliness").alias("stalliness"))
+            .groupBy(*GK, binned.alias("stalliness"))
             .agg(F.sum(F.col("weight") * F.col("team_size")).alias("weight")))
 
 

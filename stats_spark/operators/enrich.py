@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from stats_spark.datagen import dims
 from stats_spark.functions import statcalc
-from stats_spark.functions.weights import (gxe_udf, weighting_udf, WIN_RPR,
+from stats_spark.functions.weights import (gxe_expr, weighting_expr, WIN_RPR,
                                            LOSS_RPR, OUTCOME_RPRD,
                                            DEFAULT_RPR, DEFAULT_RPRD)
 
@@ -102,17 +102,23 @@ def with_effective_rating(df: DataFrame) -> DataFrame:
                         F.when(valid, F.col("rprd"))
                          .when(F.col("outcome") != 0, F.lit(OUTCOME_RPRD))
                          .otherwise(F.lit(DEFAULT_RPRD)))
-            .withColumn("gxe", F.when(valid, gxe_udf("rpr", "rprd"))))
+            .withColumn("gxe", F.when(valid, gxe_expr("rpr", "rprd"))))
 
 
 def enrich_mons(sides: DataFrame, spark) -> DataFrame:
     """Explode teams and enrich each set: computed stats (A5), spread &
-    stats strings, per-mon stalliness + bias (C2).  Dimension joins are
-    explicit broadcasts."""
+    stats strings, per-mon classifier columns (C2–C4).  Dimension joins
+    are explicit broadcasts; the second species join fetches the BASE
+    forme's stats/types for mega forme-averaging and team analysis
+    (classifier.ts:60-77, 217-219)."""
     sp = F.broadcast(dim_species_df(spark).select(
-        "species_id", "display_name",
+        "species_id", "display_name", "base_species_id", "is_mega",
         *[F.col(f"base_{s}").alias(f"b_{s}") for s in statcalc.STATS],
         "types", "tier"))
+    sp_base = F.broadcast(dim_species_df(spark).select(
+        F.col("species_id").alias("bsp_id"),
+        *[F.col(f"base_{s}").alias(f"b2_{s}") for s in statcalc.STATS],
+        F.col("types").alias("base_types")))
     nat = F.broadcast(dim_natures_df(spark))
 
     mons = (sides
@@ -123,6 +129,8 @@ def enrich_mons(sides: DataFrame, spark) -> DataFrame:
             .select("*", "mon.*").drop("mon"))
     mons = (mons
             .join(sp, mons.species == sp.species_id, "left").drop("species_id")
+            .join(sp_base, F.col("base_species_id") == F.col("bsp_id"), "left")
+            .drop("bsp_id")
             .join(nat, "nature", "left"))
 
     for s in statcalc.STATS:
@@ -147,52 +155,15 @@ def enrich_mons(sides: DataFrame, spark) -> DataFrame:
                         F.concat_ws("/", *[F.col(f"stat_{s}").cast("long")
                                            for s in statcalc.STATS])))
 
-    # per-mon stalliness — classifyForme: base + move modifiers − log2(3)
-    # (classifier.ts:113-143; move-category modifiers simplified to the
-    # synthetic dims' recovery/protection/setup categories)
-    mv = dims.MOVE_CATEGORIES
-    has = lambda cat: F.arrays_overlap(  # noqa: E731
-        F.col("moves"), F.array(*[F.lit(m) for m in sorted(mv[cat])]))
-    stall = statcalc.base_stalliness(
-        F.col("stat_hp"), F.col("stat_atk"), F.col("stat_spa"),
-        F.col("stat_def"), F.col("stat_spd"), F.col("level"),
-        F.col("species"))
-    stall = (stall
-             + F.when(has("recovery"), 0.5).otherwise(0.0)
-             + F.when(has("protection"), 0.5).otherwise(0.0)
-             - F.when(has("setup"), 0.5).otherwise(0.0)
-             - F.lit(statcalc.LOG3_LOG2))
-    bias = (F.col("ev_atk") + F.col("ev_spa") - F.col("ev_hp")
-            - F.col("ev_def") - F.col("ev_spd"))
-    return (mons
-            .withColumn("stalliness", stall)
-            .withColumn("bias", bias.cast("long"))
-            .withColumn("has_pivot", has("pivot")))
+    from stats_spark.operators import classifier
+    return classifier.mon_classifier_cols(mons)
 
 
 def classify_sides(mons: DataFrame) -> DataFrame:
-    """Per-side classification — classifyTeam (classifier.ts:11-54):
-    bias = Σ mon bias, stalliness = mean mon stalliness, tags = style
-    bucket + monotype + voltturn."""
-    agg = (mons.groupBy("conv_id", "side")
-           .agg(F.sum("bias").alias("team_bias"),
-                F.avg("stalliness").alias("team_stalliness"),
-                F.count("*").alias("team_size"),
-                F.sum(F.col("has_pivot").cast("int")).alias("n_pivot"),
-                F.collect_list("types").alias("type_lists")))
-    # monotype: a type shared by every team member — fold intersect
-    agg = agg.withColumn(
-        "shared_types",
-        F.aggregate(F.slice("type_lists", 2, 16),
-                    F.element_at("type_lists", 1),
-                    lambda acc, x: F.array_intersect(acc, x)))
-    bucket = statcalc.stalliness_bucket(F.col("team_stalliness"))
-    mono = F.when(F.size("shared_types") > 0,
-                  F.concat(F.lit("mono"), F.col("shared_types").getItem(0)))
-    volt = F.when(F.col("n_pivot") >= 2, F.lit("voltturn"))
-    tags = F.array_compact(F.array(bucket, mono, volt))
-    return agg.select("conv_id", "side", "team_bias", "team_stalliness",
-                      "team_size", tags.alias("tags"))
+    """Per-side classification — delegates to the full classifier port
+    (operators.classifier: classifyTeam + the complete tag set)."""
+    from stats_spark.operators import classifier
+    return classifier.classify_sides(mons)
 
 
 def explode_cutoffs(df: DataFrame,
@@ -204,7 +175,7 @@ def explode_cutoffs(df: DataFrame,
 
 
 def with_weight(df: DataFrame) -> DataFrame:
-    """A1 erf weighting per (row, cutoff), Arrow-vectorized."""
+    """A1 erf weighting per (row, cutoff) — JVM-side Cody erf, inside
+    whole-stage codegen (no Python in the hot path)."""
     return df.withColumn("weight",
-                         weighting_udf("eff_rpr", "eff_rprd",
-                                       F.col("cutoff").cast("double")))
+                         weighting_expr("eff_rpr", "eff_rprd", "cutoff"))

@@ -73,9 +73,10 @@ def build_frames(spark: SparkSession, battles: DataFrame,
                  cache: bool = False) -> dict:
     """All aggregate DataFrames (lazy) from a parsed battles frame.
 
-    ``cache=True`` persists the three shared intermediates (mons_w,
-    sides_w, battles_w) — every sink reuses them instead of re-running
-    the enrichment; use when materializing several sinks in one job."""
+    ``cache=True`` persists the three shared intermediates (the pruned
+    enriched mons, side_class, battles_w) — every sink reuses them
+    instead of re-running the enrichment; use when materializing
+    several sinks in one job."""
     ok = enrich.accepted_battles(battles)
     # battles is compact on disk (a 150k-conversation checkpoint is a
     # few dozen MB) so the scan yields only 1-2 input partitions — but
@@ -83,21 +84,35 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     # Re-spread by bytes-cheap shuffle so every later stage parallelizes.
     ok = ok.repartition(battles.sparkSession.sparkContext.defaultParallelism * 2)
     sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
-    mons = enrich.enrich_mons(sides, spark)
+    # enrichment (stats + classifier columns) is the CPU-heavy stage;
+    # prune it to the columns the aggregates consume and cache ONCE —
+    # side_class, mons_w and sides_w all derive from this single frame
+    # instead of re-running the enrichment per consumer
+    from stats_spark.operators.classifier import _COUNTERS
+    mons = enrich.enrich_mons(sides, spark).select(
+        "conv_id", "side", "format", "species", "player",
+        "rating_valid", "short", "outcome", "turns_out", "gxe",
+        "ability", "item", "tera_type", "happiness", "spread",
+        "stats_str", "moves", "stalliness", "bias", "base_types",
+        "eff_rpr", "eff_rprd",
+        *[f"w_{w}" for w in ("rain", "sun", "sand", "hail")], *_COUNTERS)
+    if cache:
+        mons = mons.cache()
     side_class = enrich.classify_sides(mons)
+    if cache:
+        side_class = side_class.cache()
 
     # side tags ride along on every mon row so the A13 tag fan-out is a
     # plain explode downstream (single pass for total + all tag shards)
-    mons = mons.join(side_class.select("conv_id", "side", "tags"),
-                     ["conv_id", "side"])
-    mons_w = enrich.with_weight(enrich.explode_cutoffs(mons, cutoffs))
+    mons_j = mons.join(side_class.select("conv_id", "side", "tags"),
+                       ["conv_id", "side"])
+    mons_w = enrich.with_weight(enrich.explode_cutoffs(mons_j, cutoffs))
     sides_w = enrich.with_weight(enrich.explode_cutoffs(
         sides.join(side_class, ["conv_id", "side"]), cutoffs))
     battles_w = battles_weighted(ok, cutoffs)
     if cache:
-        # prune to the union of columns the aggregates consume before
-        # materializing — the full enriched frame is ~45 columns and
-        # caching it costs more than every aggregate combined
+        # second-level cache: the ×cutoffs frames every sink consumes —
+        # pruned to the aggregate columns (the full frame is ~45 cols)
         mons_w = mons_w.select(
             "format", "cutoff", "species", "player", "weight",
             "rating_valid", "short", "outcome", "turns_out", "gxe",
@@ -113,6 +128,11 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     usage = agg.usage_by_species(mons_w)
     usage_tagged = agg.usage_by_species_tagged(agg.with_tag_dimension(mons_w))
     frames = dict(
+        # materialization order matters: mons first (one enrichment
+        # pass), then side_class (from cached mons), then the ×cutoff
+        # frames (from both caches)
+        _cached=([mons, side_class, mons_w, sides_w, battles_w]
+                 if cache else []),
         _mons_w=mons_w, _sides_w=sides_w, _battles_w=battles_w,
         battles=battles,
         rejects=enrich.rejected_battles(battles),
@@ -165,8 +185,8 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
     # materialize the shared cached intermediates once, up front — the
     # parallel sink writers then all hit the cache instead of racing to
     # compute it
-    for k in ("_mons_w", "_sides_w", "_battles_w"):
-        frames[k].count()
+    for df in frames["_cached"]:
+        df.count()
 
     def write_one(sink: str) -> dict:
         ts = time.time()

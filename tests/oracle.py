@@ -92,59 +92,255 @@ def mon_computed(mon):
     return stats, spread, stats_str
 
 
-def mon_stalliness(mon, stats):
-    sp = mon["species"]
-    if sp == "shedinja":
-        s = 0.0
-    elif sp == "ditto":
-        s = LOG3_LOG2
-    else:
-        s = -math.log(
-            ((math.floor(2.0 * mon["level"] + 10) / 250
-              * max(stats["atk"], stats["spa"])
-              / max(stats["def"], stats["spd"])) * 120 + 2) * 0.925
-            / stats["hp"]) / math.log(2)
+# ---------------------------------------------------------------------
+# classifier oracle: a literal, CAPPED-counter port of classifier.ts
+# (the Spark implementation uses uncapped indicator sums with threshold
+# tests; this oracle implements the reference's capped walk exactly, so
+# the golden tests double as a proof of the threshold equivalence)
+
+def _tables():
+    from stats_spark.operators.classifier import (derive_move_tables,
+                                                  role_moves, weather_moves)
+    return derive_move_tables(), role_moves(), weather_moves()
+
+
+def _ability(mon):
+    return dims.ABILITY_ATTRS.get(mon["ability"], ("neutral", set()))
+
+
+def _item(mon):
+    return dims.ITEM_ATTRS.get(mon["item"], (0.0, set()))
+
+
+SLOW_NATURES = {"brave", "relaxed", "quiet", "sassy"}
+TRAP_ROLES = ("meanlook", "block")
+
+
+def _base_stall_value(species, stats, level):
+    if species == "shedinja":
+        return 0.0
+    if species == "ditto":
+        return LOG3_LOG2
+    return -math.log(
+        ((math.floor(2.0 * level + 10) / 250
+          * max(stats["atk"], stats["spa"])
+          / max(stats["def"], stats["spd"])) * 120 + 2) * 0.925
+        / stats["hp"]) / math.log(2)
+
+
+def _has_role(moves, R, role):
+    return bool(moves & R.get(role, frozenset()))
+
+
+def _moves_mod(mon, T, R):
     mv = set(mon["moves"])
-    if mv & dims.MOVE_CATEGORIES["recovery"]:
-        s += 0.5
-    if mv & dims.MOVE_CATEGORIES["protection"]:
-        s += 0.5
-    if mv & dims.MOVE_CATEGORIES["setup"]:
-        s -= 0.5
-    return s - LOG3_LOG2
+    mod = 0.0
+    for role, d in [("toxic", 1.0), ("spikes", 0.5), ("toxicspikes", 0.5),
+                    ("willowisp", 0.5), ("psychoshift", 0.5),
+                    ("healbell", 0.5), ("haze", 0.5), ("substitute", -0.5),
+                    ("superfang", -0.5), ("trick", -0.5), ("endeavor", -1.0)]:
+        if _has_role(mv, R, role):
+            mod += d
+    for table, d in [("recovery", 1.0), ("protection", 1.0),
+                     ("phazing", 0.5), ("paralysis", 0.5),
+                     ("confusion", 0.5), ("sleep", -0.5),
+                     ("lesser_offensive", -0.5), ("greater_offensive", -1.0),
+                     ("ohko", -1.0)]:
+        if mv & T[table]:
+            mod += d
+    if _has_role(mv, R, "bellydrum"):
+        mod -= 2.0
+    elif _has_role(mv, R, "shellsmash"):
+        mod -= 1.5
+    elif mv & T["greater_setup"]:
+        mod -= 1.0
+    elif mv & T["lesser_setup"]:
+        mod -= 0.5
+    return mod
+
+
+def classify_pokemon(mon, T, R, W):
+    """classifyPokemon/classifyForme — classifier.ts:60-144."""
+    mv = set(mon["moves"])
+    acls, aflags = _ability(mon)
+    imod, _iflags = _item(mon)
+
+    mod = {"greater_off": -1.0, "lesser_off": -0.5,
+           "lesser_def": 0.5, "greater_def": 1.0}.get(acls, 0.0)
+    mod += imod
+    mod += _moves_mod(mon, T, R)
+    # combo rules — classifier.ts:124-137
+    if "trapping" in aflags:
+        mod -= 1.0
+    elif any(_has_role(mv, R, r) for r in TRAP_ROLES):
+        mod -= 0.5
+    if "harvest" in aflags or _has_role(mv, R, "recycle"):
+        mod += 1.0
+    if ("weather_sand" in aflags or "weather_hail" in aflags
+            or mv & (W.get("sand", frozenset()) | W.get("hail", frozenset()))):
+        mod += 0.5
+
+    stats, _, _ = mon_computed(mon)
+    stall = _base_stall_value(mon["species"], stats, mon["level"])
+    sd = dims.species_dict()[mon["species"]]
+    if sd["is_mega"]:
+        base_id = sd["base_species_id"]
+        base_mon = dict(mon, species=base_id)
+        bstats, _, _ = mon_computed(base_mon)
+        stall = (stall + _base_stall_value(base_id, bstats,
+                                           mon["level"])) / 2.0
+    bias = (mon["ev_atk"] + mon["ev_spa"] - mon["ev_hp"]
+            - mon["ev_def"] - mon["ev_spd"])
+    return bias, stall + mod - LOG3_LOG2
+
+
+def _tag(team, stalliness, T, R, W):
+    """tag() — classifier.ts:203-393, capped counters verbatim."""
+    weather = dict(rain=0, sun=0, sand=0, hail=0)
+    s = dict(batonpass=0, tailwind=0, trickroom=0, slow=0, gravityMoves=0,
+             gravity=0, voltturn=0, dragons=0, trappers=0, clearance=0,
+             fear=0, choice=0, swagplay=0)
+    possible_types = None
+    for mon in team:
+        sd = dims.species_dict()[mon["species"]]
+        base = dims.species_dict()[sd["base_species_id"]]
+        mv = set(mon["moves"])
+        acls, aflags = _ability(mon)
+        _imod, iflags = _item(mon)
+        possible_types = (list(base["types"]) if possible_types is None
+                          else [t for t in possible_types
+                                if t in base["types"]])
+        for w in ("rain", "sun", "sand", "hail"):
+            if f"weather_{w}" in aflags:
+                weather[w] += 2
+                break
+        for w in ("rain", "sun", "sand", "hail"):
+            if weather[w] < 2 and mv & W.get(w, frozenset()):
+                weather[w] += 2 if f"rock_{w}" in iflags else 1
+        if (s["batonpass"] < 2 and _has_role(mv, R, "batonpass")
+                and ("setup" in aflags or mv & T["baton_pass"])):
+            s["batonpass"] += 1
+        if s["tailwind"] < 2 and _has_role(mv, R, "tailwind"):
+            s["tailwind"] += 1
+        if _has_role(mv, R, "trickroom") and not _has_role(mv, R, "imprison"):
+            s["trickroom"] += 1
+        if (s["slow"] < 2 and mon["ev_spe"] < 5
+                and (mon["nature"] in SLOW_NATURES
+                     or base["base_spe"] <= 50)):
+            s["slow"] += 1
+        if s["gravity"] < 2 and _has_role(mv, R, "gravity"):
+            s["gravity"] += 1
+        if mv & T["gravity"]:
+            s["gravityMoves"] += 1
+        if ((s["voltturn"] < 3 and "voltturn" in iflags)
+                or mv & dims.UTURN_MOVES):
+            s["voltturn"] += 1
+        if ((s["trappers"] < 3 and "trapping" in aflags)
+                or any(_has_role(mv, R, r) for r in TRAP_ROLES)):
+            s["trappers"] += 1
+        if "dragon" in base["types"]:
+            s["dragons"] += 1
+        if ((s["clearance"] < 2 and "clearance" in aflags)
+                or _has_role(mv, R, "rapidspin")):
+            s["clearance"] += 1
+        if (s["fear"] < 3 and ("sturdy" in aflags or "sash" in iflags)
+                and _has_role(mv, R, "endeavor")):
+            s["fear"] += 1
+        if (s["choice"] < 4 and "klutz" not in aflags
+                and "choice" in iflags):
+            s["choice"] += 1
+        if (s["swagplay"] < 2
+                and (_has_role(mv, R, "foulplay")
+                     or _has_role(mv, R, "swagger"))):
+            s["swagplay"] += 1
+
+    tags = set()
+    for w in ("rain", "sun", "sand", "hail"):
+        if weather[w] > 1:
+            tags.add(w)
+    if len(tags) == 4:
+        tags.add("allweather")
+    elif len(tags) > 1:
+        tags.add("multiweather")
+    elif len(tags) == 0:
+        tags.add("weatherless")
+    if s["batonpass"] > 1:
+        tags.add("batonpass")
+    if s["tailwind"] > 1:
+        tags.add("tailwind")
+    trickroom = s["trickroom"] > 2 or (s["trickroom"] > 1 and s["slow"] > 1)
+    if trickroom:
+        tags.add("trickroom")
+        for w in ("rain", "sun", "sand", "hail"):
+            if weather[w] > 1:
+                tags.add(f"trick{w}")
+    if s["gravity"] > 2 or (s["gravity"] > 1 and s["gravityMoves"] > 1):
+        tags.add("gravity")
+    if s["voltturn"] > 2 and s["batonpass"] < 2:
+        tags.add("voltturn")
+    if s["dragons"] > 1 and s["trappers"] > 0:
+        tags.add("dragmag")
+    if s["trappers"] > 2:
+        tags.add("trapper")
+    if s["fear"] > 2 and s["clearance"] > 1:
+        tags.add("fear")
+        if weather["sand"] > 1:
+            tags.add("sandfear")
+        if weather["hail"] > 1:
+            tags.add("hailfear")
+        if trickroom:
+            tags.add("trickfear")
+    if s["choice"] > 3:
+        tags.add("choice")
+    if s["swagplay"] > 1:
+        tags.add("swagplay")
+    if possible_types:
+        tags.add("monotype")
+        for t in possible_types:
+            tags.add(f"mono{t}")
+    single_weather = not (tags & {"multiweather", "allweather", "weatherless"})
+    if stalliness <= -1:
+        tags.add("hyperoffense")
+        if single_weather:
+            if "rain" in tags:
+                tags.add("rainoffense")
+            elif "sun" in tags:
+                tags.add("sunoffense")
+            elif "sand" in tags:
+                tags.add("sandoffense")
+            else:
+                tags.add("hailoffense")
+    elif stalliness < 0:
+        tags.add("offense")
+    elif stalliness < 1.0:
+        tags.add("balance")
+    elif stalliness < LOG3_LOG2:
+        tags.add("semistall")
+    else:
+        tags.add("stall")
+        if single_weather:
+            if "rain" in tags:
+                tags.add("rainstall")
+            elif "sun" in tags:
+                tags.add("sunstall")
+            elif "sand" in tags:
+                tags.add("sandstall")
+            else:
+                tags.add("hailstall")
+    return sorted(tags)
 
 
 def classify_team(team):
+    """classifyTeam — classifier.ts:11-54."""
+    T, R, W = _tables()
     bias = 0
     stals = []
-    shared = None
-    n_pivot = 0
     for mon in team:
-        stats, _, _ = mon_computed(mon)
-        stals.append(mon_stalliness(mon, stats))
-        bias += (mon["ev_atk"] + mon["ev_spa"] - mon["ev_hp"]
-                 - mon["ev_def"] - mon["ev_spd"])
-        types = dims.species_dict()[mon["species"]]["types"]
-        shared = list(types) if shared is None else [t for t in shared if t in types]
-        if set(mon["moves"]) & dims.MOVE_CATEGORIES["pivot"]:
-            n_pivot += 1
+        b, st = classify_pokemon(mon, T, R, W)
+        bias += b
+        stals.append(st)
     stall = sum(stals) / len(stals)
-    if stall <= -1:
-        bucket = "hyperoffense"
-    elif stall < 0:
-        bucket = "offense"
-    elif stall < 1:
-        bucket = "balance"
-    elif stall < LOG3_LOG2:
-        bucket = "semistall"
-    else:
-        bucket = "stall"
-    tags = [bucket]
-    if shared:
-        tags.append("mono" + shared[0])
-    if n_pivot >= 2:
-        tags.append("voltturn")
-    return bias, stall, tags
+    return bias, stall, _tag(team, stall, T, R, W)
 
 
 def parse_corpus(convs_pdf, turns_pdf):
@@ -217,7 +413,8 @@ class OracleStats:
                             self.totals[key]["win_weighted"] += w
                         for t in tags:
                             self.metagame[(fmt, c, t)] += w
-                        self.stalliness[(fmt, c, stall)] += w
+                        sbin = math.floor(stall / 1e-4 + 0.5) * 1e-4
+                        self.stalliness[(fmt, c, sbin)] += w
                     self.totals[key]["raw_count"] += 1
                     sp = mon["species"]
                     u = self.usage[(fmt, c, sp)]
