@@ -53,9 +53,13 @@ def rejected_battles(battles: DataFrame) -> DataFrame:
     return battles.filter(F.col("error").isNotNull())
 
 
-def sides_from_battles(battles: DataFrame) -> DataFrame:
+def sides_from_battles(battles: DataFrame,
+                       non_singles: set | None = None,
+                       non_6v6: set | None = None) -> DataFrame:
     """Explode battle rows to one row per (battle, side) — the unit the
-    reference iterates in updateTagged (stats.ts:138-143)."""
+    reference iterates in updateTagged (stats.ts:138-143).  Format gate
+    sets default to the synthetic dims; the parity path passes the
+    reference's legacy sets."""
     side_struct = [
         F.struct(
             F.lit(s).alias("side"),
@@ -66,8 +70,9 @@ def sides_from_battles(battles: DataFrame) -> DataFrame:
             F.col(f"lead_{s}").alias("lead"),
         ) for s in ("p1", "p2")
     ]
-    non_6v6 = sorted(dims.NON_6V6_FORMATS)
-    non_singles = sorted(dims.NON_SINGLES_FORMATS)
+    non_6v6 = sorted(dims.NON_6V6_FORMATS if non_6v6 is None else non_6v6)
+    non_singles = sorted(dims.NON_SINGLES_FORMATS if non_singles is None
+                         else non_singles)
     singles = ~F.col("format").isin(non_singles)
     # short-battle gate — stats.ts:134-136
     short = (~F.col("format").isin(non_6v6)

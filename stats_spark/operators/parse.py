@@ -104,8 +104,23 @@ EV_KEYS = ["ev_hp", "ev_atk", "ev_def", "ev_spa", "ev_spd", "ev_spe"]
 IV_KEYS = ["iv_hp", "iv_atk", "iv_def", "iv_spa", "iv_spd", "iv_spe"]
 
 
+# Hidden Power type derivation from IVs — the standard published
+# formula (gen.types.getHiddenPower; consumed at parser.ts:304-308)
+_HP_TYPES = ["fighting", "flying", "poison", "ground", "rock", "bug",
+             "ghost", "steel", "fire", "water", "grass", "electric",
+             "psychic", "ice", "dragon", "dark"]
+_HP_ORDER = ["hp", "atk", "def", "spe", "spa", "spd"]
+
+
+def hidden_power_type(ivs: dict) -> str:
+    n = sum((ivs.get(k, 31) & 1) << i for i, k in enumerate(_HP_ORDER))
+    return _HP_TYPES[n * 15 // 63]
+
+
 def canonicalize_team(team: Iterable[dict], D: dict) -> list[dict]:
-    """parser.ts:278-334 — normalize ids, apply defaults, mega rewrite."""
+    """parser.ts:278-334 — normalize ids, apply defaults, Hidden Power
+    typing, special forme rules (battlebond/rusted sword/shield), mega
+    rewrite."""
     out = []
     for slot, p in enumerate(team or []):
         item = to_id_py(p.get("item"))
@@ -114,21 +129,35 @@ def canonicalize_team(team: Iterable[dict], D: dict) -> list[dict]:
         nature = nature if nature in D["natures"] else "hardy"
         ability = to_id_py(p.get("ability"))
         ability = ability if ability in D["abilities"] else "unknown"
-        species = from_alias(to_id_py(p.get("species")), D)
+        # species falls back to the nickname field — parser.ts:315-316
+        species = from_alias(to_id_py(p.get("species") or p.get("name")), D)
         if species not in D["species"]:
             raise ParseError(f"Unknown species '{p.get('species')}'")
-        mega = D["mega"].get((species, item))
-        if mega:
-            species, ability = mega
+        ivs = {k[3:]: (31 if p.get(k) is None else int(p[k])) for k in IV_KEYS}
+        # special forme rules — parser.ts:318-330
+        if species == "greninja" and ability == "battlebond":
+            species = "greninjaash"
+        elif species == "zacian" and item == "rustedsword":
+            species = "zaciancrowned"
+        elif species == "zamazenta" and item == "rustedshield":
+            species = "zamazentacrowned"
+        else:
+            mega = D["mega"].get((species, item))
+            if mega:
+                species, ability = mega
         raw_moves = p.get("moves")
         raw_moves = [] if raw_moves is None else list(raw_moves)
         moves = [to_id_py(m) for m in raw_moves][:4]
+        if D.get("hiddenpower"):
+            hpt = None if D.get("legacy") else to_id_py(p.get("hp_type"))
+            moves = [m + (hpt or hidden_power_type(ivs))
+                     if m == "hiddenpower" else m for m in moves]
         while len(moves) < 4:
-            moves.append("nothing")
+            moves.append("")   # toID(undefined) — parser.ts:302-309
         c = dict(
             slot=slot, species=species, item=item, ability=ability,
-            nature=nature, moves=moves,
-            level=int(p.get("level") or 100),
+            nature=nature, moves=moves, name=p.get("name"),
+            level=int(p.get("forced_level") or p.get("level") or 100),
             happiness=255 if p.get("happiness") is None else int(p["happiness"]),
             tera_type=to_id_py(p.get("tera_type")) or "nothing",
             turns_out=0, kos=0,
@@ -136,28 +165,54 @@ def canonicalize_team(team: Iterable[dict], D: dict) -> list[dict]:
         for k in EV_KEYS:
             c[k] = int(p.get(k) or 0)
         for k in IV_KEYS:
-            c[k] = 31 if p.get(k) is None else int(p[k])
+            c[k] = ivs[k[3:]]
         out.append(c)
     return out
 
 
-def identify(name: str, side_team: list[dict], D: dict) -> int:
-    """parser.ts:344-399, species branch (details-field resolution)."""
-    sid = from_alias(to_id_py(name), D)
-    if sid not in D["species"]:
-        raise ParseError(f"Unknown species '{name}'")
-    for i, p in enumerate(side_team):
-        if p["species"] == sid:
-            return i
-    base = D["mega_formes"].get(sid)
-    if base:
-        for i, p in enumerate(side_team):
-            if p["species"].startswith(base):
+def _empty_mon(slot: int) -> dict:
+    """Legacy <6-mon team padding — parser.ts:96-106 (species 'empty',
+    empty set)."""
+    c = dict(slot=slot, species="empty", item="nothing", ability="unknown",
+             nature="hardy", moves=["", "", "", ""], name=None, level=100,
+             happiness=255, tera_type="nothing", turns_out=0, kos=0)
+    for k in EV_KEYS + IV_KEYS:
+        c[k] = 0
+    return c
+
+
+def identify(name: str, side_team: list[dict], D: dict,
+             idents: list[str] | None = None, side: str = "") -> int:
+    """parser.ts:344-399 — full resolution: nickname exact /
+    longest-prefix match, then species lookup with mega/forme reversion
+    (FORMES set), else the Illusion+Transform hard error."""
+    if idents is not None and (name.startswith(f"{side}a: ")
+                               or name.startswith(f"{side}: ")):
+        name = name[name.index(" ") + 1:]
+        found = []
+        for i, n in enumerate(idents):
+            if n == name:
                 return i
-    # reversed: details show base species while team holds the mega forme
-    for i, p in enumerate(side_team):
-        if p["species"].startswith(sid):
-            return i
+            if n and name.startswith(n):
+                found.append((i, n))
+        if found:
+            longest = max(found, key=lambda f: len(f[1]))
+            idents[longest[0]] = longest[1]
+            return longest[0]
+    else:
+        sid = from_alias(to_id_py(name), D)
+        if sid not in D["species"]:
+            raise ParseError(f"Unknown species '{name}'")
+        for i, p in enumerate(side_team):
+            if p["species"] == sid:
+                return i
+        # Try undoing a forme change — parser.ts:382-388
+        if sid in D["mega_formes"] or sid in D.get("formes", ()):
+            sid = D["mega_formes"].get(sid) or D["formes"][sid]
+        for i, p in enumerate(side_team):
+            if p["species"].startswith(sid):
+                return i
+    # Illusion+Transform ambiguity — parser.ts:391-398
     raise ParseError(f"Unable to locate '{name}'")
 
 
@@ -184,6 +239,15 @@ def parse_battle(meta: dict, lines: list[str], D: dict) -> dict:
         "p1": canonicalize_team(meta.get("p1_team"), D),
         "p2": canonicalize_team(meta.get("p2_team"), D),
     }
+    # nickname → slot identity lists — parser.ts:85, 99
+    idents = {s: [p["name"] or p["species"] for p in teams[s]]
+              for s in ("p1", "p2")}
+    if D.get("legacy"):
+        # legacy pads teams to 6 with 'empty' mons — parser.ts:96-106
+        for s in ("p1", "p2"):
+            while len(teams[s]) < 6:
+                idents[s].append("empty")
+                teams[s].append(_empty_mon(len(teams[s])))
 
     battle = dict(
         conv_id=meta["conv_id"], format=fmt, turns=int(meta["turns"]),
@@ -280,7 +344,8 @@ def parse_battle(meta: dict, lines: list[str], D: dict) -> dict:
             name = line[3].split(",")[0]
             side = "p1" if line[2].startswith("p1") else "p2"
             if kind == "replace":
-                active[side] = identify(name, teams[side], D)
+                active[side] = identify(name, teams[side], D,
+                                        idents[side], side)
                 continue
 
             if active["p1"] is not None and active["p2"] is not None:
@@ -327,7 +392,7 @@ def parse_battle(meta: dict, lines: list[str], D: dict) -> dict:
                 flags["uturn"] = flags["roar"] = flags["fodder"] = False
                 flags["hazard"] = True
 
-            active[side] = identify(name, teams[side], D)
+            active[side] = identify(name, teams[side], D, idents[side], side)
 
     battle["matchups"] = [dict(a=a, b=b, outcome=o) for a, b, o in matchups]
     battle["p1_team"], battle["p2_team"] = teams["p1"], teams["p2"]
@@ -413,9 +478,12 @@ def parse_battles(transcripts, conversations, dims_payload: dict | None = None):
                       F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
                       lambda x: x["text"]),
                   "\n").alias("lines_txt")))
-    cv = (conversations
-          .withColumn("p1_team", F.to_json("p1_team"))
-          .withColumn("p2_team", F.to_json("p2_team")))
+    from pyspark.sql.types import StringType
+
+    cv = conversations
+    for col in ("p1_team", "p2_team"):
+        if not isinstance(cv.schema[col].dataType, StringType):
+            cv = cv.withColumn(col, F.to_json(col))
     joined = cv.join(packed, "conv_id", "full_outer")
 
     meta_cols = [c for c in cv.columns]

@@ -33,11 +33,14 @@ from stats_spark.sources import tables
 
 
 def battles_weighted(battles: DataFrame,
-                     cutoffs: list[int] = dims.DEFAULT_CUTOFFS) -> DataFrame:
+                     cutoffs: list[int] = dims.DEFAULT_CUTOFFS,
+                     non_singles: set | None = None,
+                     non_6v6: set | None = None) -> DataFrame:
     """Battle × cutoff frame with both sides' weights and gate flags —
     feeds encounters / leads / battle counts."""
-    non_6v6 = sorted(dims.NON_6V6_FORMATS)
-    non_singles = sorted(dims.NON_SINGLES_FORMATS)
+    non_6v6 = sorted(dims.NON_6V6_FORMATS if non_6v6 is None else non_6v6)
+    non_singles = sorted(dims.NON_SINGLES_FORMATS if non_singles is None
+                         else non_singles)
     singles = ~F.col("format").isin(non_singles)
     short = (~F.col("format").isin(non_6v6)
              & ((F.col("turns") < 2) | ((F.col("turns") < 3) & singles)))
