@@ -221,7 +221,8 @@ def stalliness_samples(sides_w: DataFrame) -> DataFrame:
     return (sides_w
             .filter(~F.col("short"))
             .groupBy(*GK, binned.alias("stalliness"))
-            .agg(F.sum(F.col("weight") * F.col("team_size")).alias("weight")))
+            .agg(F.sum(F.col("weight") * F.col("team_size")).alias("weight"),
+                 F.sum("team_size").alias("n")))
 
 
 def unique_players(mons_w: DataFrame) -> DataFrame:

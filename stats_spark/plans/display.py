@@ -31,8 +31,15 @@ MOVESET_KEYS = ["abilities", "items", "spreads", "moves", "tera_types",
 
 
 def build_display(frames: dict, top_keys: int = 50) -> dict:
-    """Collects the aggregate frames and assembles display documents
-    keyed by (format, cutoff)."""
+    """Assembles display documents keyed by (format, cutoff).
+
+    Every collect is BOUNDED: moveset/teammate maps are truncated to
+    ``top_keys`` per (species, section) DISTRIBUTEDLY with a window
+    rank before collection (spreads/stats keys are near-unique per team
+    at scale — collecting the full maps is a driver OOM at 100×), and
+    the stalliness mean is a two-scalar aggregate, never the samples."""
+    from pyspark.sql import Window, functions as F
+
     docs: dict = defaultdict(lambda: dict(
         battles=0, usage={}, pokemon=defaultdict(dict), metagame={}))
 
@@ -51,32 +58,41 @@ def build_display(frames: dict, top_keys: int = 50) -> dict:
         d = docs[(r.format, r.cutoff)]["pokemon"][r.species]
         d["viability"] = [r.n, r.gxe_max, r.gxe_p1, r.gxe_p20]
 
-    ms = frames["moveset"].collect()
+    w = Window.partitionBy("format", "cutoff", "species", "section") \
+              .orderBy(F.desc("weight"), F.asc("key"))
+    ms = (frames["moveset"]
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= top_keys))
     by_species: dict = defaultdict(list)
-    for r in ms:
+    for r in ms.collect():
         by_species[(r.format, r.cutoff, r.species, r.section)].append(
-            (r.key, r.weight))
+            (r.rn, r.key, r.weight))
     for (fmt, cutoff, species, section), kvs in by_species.items():
-        kvs.sort(key=lambda kv: (-kv[1], kv[0]))
+        kvs.sort()
         docs[(fmt, cutoff)]["pokemon"][species][section] = {
-            k: _round(w) for k, w in kvs[:top_keys]}
+            k: _round(wt) for _rn, k, wt in kvs}
 
+    wt = Window.partitionBy("format", "cutoff", "species") \
+               .orderBy(F.desc("weight"), F.asc("teammate"))
+    tmf = (frames["teammates"]
+           .withColumn("rn", F.row_number().over(wt))
+           .filter(F.col("rn") <= top_keys))
     tm: dict = defaultdict(list)
-    for r in frames["teammates"].collect():
-        tm[(r.format, r.cutoff, r.species)].append((r.teammate, r.weight))
+    for r in tmf.collect():
+        tm[(r.format, r.cutoff, r.species)].append((r.rn, r.teammate,
+                                                    r.weight))
     for (fmt, cutoff, species), kvs in tm.items():
-        kvs.sort(key=lambda kv: (-kv[1], kv[0]))
+        kvs.sort()
         docs[(fmt, cutoff)]["pokemon"][species]["teammates"] = {
-            k: _round(w) for k, w in kvs[:top_keys]}
+            k: _round(wv) for _rn, k, wv in kvs}
 
     meta: dict = defaultdict(dict)
     for r in frames["metagame"].collect():
         meta[(r.format, r.cutoff)][r.tag] = _round(r.weight)
-    stall: dict = defaultdict(lambda: [0.0, 0.0])
-    for r in frames["stalliness"].collect():
-        acc = stall[(r.format, r.cutoff)]
-        acc[0] += r.stalliness * r.weight
-        acc[1] += r.weight
+    stall = {(r.format, r.cutoff): (r.vw, r.tw) for r in
+             frames["stalliness"].groupBy("format", "cutoff")
+             .agg(F.sum(F.col("stalliness") * F.col("weight")).alias("vw"),
+                  F.sum("weight").alias("tw")).collect()}
     for key, d in docs.items():
         tags = dict(sorted(meta.get(key, {}).items(),
                            key=lambda kv: (-kv[1], kv[0])))

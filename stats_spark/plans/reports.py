@@ -23,15 +23,14 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-# formats ranked by `real` rather than weighted — reports.ts:100-104
+# formats ranked by `real` rather than weighted — reports.ts:100-104.
+# The reference matches these EXACT format names (not by suffix):
+# 'gen7challengecup1v1' is weighted-ranked.
 REAL_RANKED = ("challengecup1v1", "1v1")
 
 
 def _is_real_fmt(fmt_col):
-    cond = F.lit(False)
-    for s in REAL_RANKED:
-        cond = cond | F.col(fmt_col).endswith(s)
-    return cond
+    return F.col(fmt_col).isin(*REAL_RANKED)
 
 
 def usage_report_rows(usage: DataFrame, totals: DataFrame) -> DataFrame:
@@ -262,6 +261,92 @@ def render_moveset_sections(species: str, raw_count: int, avg_weight,
     return s
 
 
+def histogram_params(stall: DataFrame) -> dict:
+    """Per-(format, cutoff) histogram parameters computed DISTRIBUTEDLY
+    from the binned stalliness frame — util.ts:359-376 semantics:
+    low/high are the values at count-index floor(n/1000) from each end
+    of the count-sorted sample list, then sign-clamped; bin size from
+    the pretty ladder.  Only ~#groups scalar rows reach the driver."""
+    w = Window.partitionBy("format", "cutoff").orderBy("stalliness") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    df = (stall
+          .withColumn("cum_n", F.sum("n").over(w))
+          .withColumn("n_total", F.sum("n").over(
+              Window.partitionBy("format", "cutoff")))
+          .withColumn("idx", F.floor(F.col("n_total") / 1000)))
+    # low = first value whose cumulative count exceeds idx;
+    # high = first value (from the top) whose cum count from the end
+    # exceeds idx  ⇔  last value with cum_n >= n_total - idx... use the
+    # symmetric definition: value at count position (n_total - idx - 1)
+    lows = (df.filter(F.col("cum_n") > F.col("idx"))
+            .groupBy("format", "cutoff")
+            .agg(F.min("stalliness").alias("low")))
+    highs = (df.filter(F.col("cum_n") - F.col("n") <= F.col("n_total")
+                       - F.col("idx") - 1)
+             .groupBy("format", "cutoff")
+             .agg(F.max("stalliness").alias("high")))
+    scal = (stall.groupBy("format", "cutoff")
+            .agg(F.sum(F.col("stalliness") * F.col("weight")).alias("vw"),
+                 F.sum("weight").alias("total"),
+                 F.sum("n").alias("n_total"))
+            .join(lows, ["format", "cutoff"])
+            .join(highs, ["format", "cutoff"]))
+    out = {}
+    for r in scal.collect():
+        low, high = r.low, r.high
+        if low > 0:
+            low = 0.0
+        elif high < 0:
+            high = 0.0
+        size = (high - low) / 12
+        bin_size = next((b for b in [10, 5, 2.5, 2, 1.5, 1, 0.5, 0.25, 0.2,
+                                     0.1, 0.05] if size > b), 0.05)
+        n_pos = 0
+        x = bin_size
+        while x + bin_size / 2 < high:
+            n_pos += 1
+            x += bin_size
+        n_neg = 0
+        x = -bin_size
+        while x - bin_size / 2 > low:
+            n_neg += 1
+            x -= bin_size
+        out[(r.format, r.cutoff)] = dict(
+            bin_size=bin_size, n_neg=n_neg, n_pos=n_pos,
+            nbins=n_neg + n_pos + 1, mean=r.vw / r.total if r.total else 0.0,
+            total=r.total)
+    return out
+
+
+def histogram_rows(stall: DataFrame, params: dict) -> dict:
+    """Assign every (value, weight) row to its reference bin index
+    distributedly; collect only the ≤ ~40 bins per group.  Returns
+    {(format, cutoff): [[x, weight], ...]} sorted by x."""
+    if not params:
+        return {}
+    spark = stall.sparkSession
+    pdf = [dict(format=f, cutoff=c, bin_size=p["bin_size"],
+                n_neg=p["n_neg"], nbins=p["nbins"]) for (f, c), p in
+           params.items()]
+    pp = F.broadcast(spark.createDataFrame(
+        pdf, "format string, cutoff int, bin_size double, n_neg int, "
+             "nbins int"))
+    min_center = -F.col("n_neg") * F.col("bin_size")
+    j = F.greatest(F.lit(0).cast("long"),
+                   F.ceil((F.col("stalliness") - min_center)
+                          / F.col("bin_size") - 0.5))
+    binned = (stall.join(pp, ["format", "cutoff"])
+              .withColumn("j", j)
+              .filter(F.col("j") < F.col("nbins"))
+              .groupBy("format", "cutoff", "j", "n_neg", "bin_size")
+              .agg(F.sum("weight").alias("w")))
+    out = {k: [[(jj - params[k]["n_neg"]) * params[k]["bin_size"], 0.0]
+               for jj in range(params[k]["nbins"])] for k in params}
+    for r in binned.collect():
+        out[(r.format, r.cutoff)][r.j][1] = r.w
+    return out
+
+
 def stalliness_histogram(samples: list[tuple[float, float]]):
     """util.ts:359-408 — data-driven pretty binning; returns
     (histogram[[x, weight]], bin_size, mean, total)."""
@@ -301,17 +386,22 @@ def stalliness_histogram(samples: list[tuple[float, float]]):
 
 
 def render_metagame_report(tags: list, total_weighted: float,
-                           samples: list[tuple[float, float]]) -> str:
-    """reports.ts:367-412."""
+                           samples: list[tuple[float, float]] | None = None,
+                           hist: tuple | None = None) -> str:
+    """reports.ts:367-412.  Histogram input is either raw ``samples``
+    (small/test path) or a precomputed ``hist`` tuple
+    (histogram, bin_size, mean, total) from the distributed path."""
     W = max(1.0, total_weighted)
     s = ""
     for tag, weight in sorted(tags, key=lambda t: (-t[1], t[0])):
         dots = "." * max(0, 18 - len(tag))
         s += f"{tag}{dots}{100.0 * weight / W * 6.0:.5f}%\n"
     s += "\n"
-    if not samples:
-        return s
-    histogram, bin_size, mean, total = stalliness_histogram(samples)
+    if hist is None:
+        if not samples:
+            return s
+        hist = stalliness_histogram(samples)
+    histogram, bin_size, mean, total = hist
     mx = max((h[1] for h in histogram), default=0)
     blocks = mx / 30
     if blocks <= 0:
@@ -332,9 +422,20 @@ def render_metagame_report(tags: list, total_weighted: float,
 
 def write_reports(spark, frames: dict, out_dir: str,
                   formats: list[str] | None = None,
-                  cutoffs: list[int] | None = None) -> dict:
-    """S6 fan-out: render usage/leads/metagame text reports per
-    (format, cutoff) into output/{,leads/,metagame/} trees."""
+                  cutoffs: list[int] | None = None,
+                  movesets: bool = True) -> dict:
+    """S6 fan-out: render the full report suite per (format, cutoff) —
+    usage / leads / metagame / moveset / detailed(chaos JSON) — into
+    output/{,leads/,metagame/,moveset/,chaos/} trees (the reference's
+    five-tree layout, workflows/smogon/stats.ts:159-196).
+
+    Scale discipline: every collect here is BOUNDED — ranked usage/leads
+    rows (#species), per-section top-k truncated moveset rows (window
+    rank, keep=24/11/12 — the render cutoffs), metagame tags, and
+    ≤ ~40 histogram bins per group computed by the distributed
+    two-pass stalliness histogram.  No unbounded-cardinality frame is
+    ever collected to the driver."""
+    import json as _json
     import os
 
     usage_rows = usage_report_rows(frames["usage"], frames["usage_totals"])
@@ -344,32 +445,125 @@ def write_reports(spark, frames: dict, out_dir: str,
     totals = {(r["format"], r["cutoff"]): r["total_usage_weighted"]
               for r in frames["usage_totals"].collect()}
     meta = frames["metagame"].collect()
-    stall = frames["stalliness"].collect()
+    hp = histogram_params(frames["stalliness"])
+    hist = histogram_rows(frames["stalliness"], hp)
 
     u_pdf = usage_rows.toPandas()
     l_pdf = lead_rows.toPandas()
+
+    ms_rows = tm_rows = cc_rows = None
+    usage_pdf = via_pdf = None
+    if movesets:
+        ms_rows = moveset_section_rows(frames["moveset"], frames["usage"]) \
+            .toPandas()
+        tm_rows = teammates_rows(frames["teammates"], frames["usage"]) \
+            .toPandas()
+        cc_rows = checks_counters_rows(frames["encounters"]).toPandas()
+        usage_pdf = frames["usage"].select(
+            "format", "cutoff", "species", "raw_count", "saved_count",
+            "saved_weight").toPandas()
+        via_pdf = frames["viability"].select(
+            "format", "cutoff", "species", "gxe_max").toPandas()
+
     written = []
     keys = sorted(counts.keys() if formats is None
                   else {(f, c) for f in formats for c in cutoffs})
+    for sub in ("leads", "metagame", "moveset", "chaos"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
     for fmt, cutoff in keys:
         base = os.path.join(out_dir, f"{fmt}-{cutoff}")
         rows = u_pdf[(u_pdf.format == fmt) & (u_pdf.cutoff == cutoff)] \
             .sort_values("rank").to_dict("records")
-        os.makedirs(os.path.join(out_dir, "leads"), exist_ok=True)
-        os.makedirs(os.path.join(out_dir, "metagame"), exist_ok=True)
         with open(base + ".txt", "w") as f:
             f.write(render_usage_report(rows, counts.get((fmt, cutoff), 0),
                                         totals.get((fmt, cutoff), 0.0)))
         lrows = l_pdf[(l_pdf.format == fmt) & (l_pdf.cutoff == cutoff)] \
             .sort_values("rank").to_dict("records")
-        with open(os.path.join(out_dir, "leads", f"{fmt}-{cutoff}.txt"), "w") as f:
+        with open(os.path.join(out_dir, "leads", f"{fmt}-{cutoff}.txt"),
+                  "w") as f:
             f.write(render_leads_report(lrows, counts.get((fmt, cutoff), 0)))
         tags = [(r["tag"], r["weight"]) for r in meta
                 if r["format"] == fmt and r["cutoff"] == cutoff]
-        samples = [(r["stalliness"], r["weight"]) for r in stall
-                   if r["format"] == fmt and r["cutoff"] == cutoff]
-        with open(os.path.join(out_dir, "metagame", f"{fmt}-{cutoff}.txt"), "w") as f:
-            f.write(render_metagame_report(tags, totals.get((fmt, cutoff), 0.0),
-                                           samples))
+        h = hp.get((fmt, cutoff))
+        htuple = ((hist[(fmt, cutoff)], h["bin_size"], h["mean"],
+                   h["total"]) if h else None)
+        with open(os.path.join(out_dir, "metagame", f"{fmt}-{cutoff}.txt"),
+                  "w") as f:
+            f.write(render_metagame_report(
+                tags, totals.get((fmt, cutoff), 0.0),
+                samples=None if htuple else [], hist=htuple))
+
+        if movesets:
+            ms_txt, chaos = _render_movesets(
+                fmt, cutoff, rows, usage_pdf, via_pdf, ms_rows, tm_rows,
+                cc_rows, counts.get((fmt, cutoff), 0))
+            with open(os.path.join(out_dir, "moveset",
+                                   f"{fmt}-{cutoff}.txt"), "w") as f:
+                f.write(ms_txt)
+            with open(os.path.join(out_dir, "chaos",
+                                   f"{fmt}-{cutoff}.json"), "w") as f:
+                _json.dump(chaos, f, separators=(",", ":"))
         written.append(base)
     return dict(written=len(written))
+
+
+def _render_movesets(fmt, cutoff, usage_rank_rows, usage_pdf, via_pdf,
+                     ms_rows, tm_rows, cc_rows, battles):
+    """Assemble the basic moveset text report + the detailed 'chaos'
+    JSON for one (format, cutoff) from the pre-truncated frames —
+    reports.ts:190-332 / 335-365 shapes.  The chaos maps carry the
+    top-k rows the distributed truncation kept (keep=24 per section), a
+    documented divergence from the reference's unbounded maps."""
+    from stats_spark.functions.ids import to_id_py  # noqa: F401 (parity)
+
+    u = usage_pdf[(usage_pdf.format == fmt) & (usage_pdf.cutoff == cutoff)]
+    raw_counts = dict(zip(u.species, u.raw_count))
+    saved = {r.species: (r.saved_count, r.saved_weight)
+             for r in u.itertuples()}
+    v = via_pdf[(via_pdf.format == fmt) & (via_pdf.cutoff == cutoff)]
+    ceilings = dict(zip(v.species, v.gxe_max))
+    ms = ms_rows[(ms_rows.format == fmt) & (ms_rows.cutoff == cutoff)]
+    tm = tm_rows[(tm_rows.format == fmt) & (tm_rows.cutoff == cutoff)]
+    cc = cc_rows[(cc_rows.format == fmt) & (cc_rows.cutoff == cutoff)]
+
+    s = ""
+    chaos_data = {}
+    for r in usage_rank_rows:
+        sp = r["species"]
+        if r["usage_pct"] < 0.01:   # usage < 0.0001 — reports.ts:212
+            break
+        sec = ms[ms.species == sp]
+        sections = {
+            name: sec[sec.section == name].sort_values("rn")
+            .to_dict("records")
+            for name in ("abilities", "items", "spreads", "moves",
+                         "tera_types", "happinesses", "stats")
+        }
+        mates = tm[tm.species == sp].sort_values("rn").to_dict("records")
+        checks = cc[cc.species == sp].sort_values("rn").to_dict("records")
+        sc, sw = saved.get(sp, (0, 0.0))
+        avg = _round_str_simple(sw / sc) if sc else "---"
+        ceiling = int(ceilings.get(sp, 0) or 0)
+        s += render_moveset_sections(sp, int(raw_counts.get(sp, 0)), avg,
+                                     ceiling, sections, mates, checks)
+        chaos_data[sp] = {
+            "Raw count": int(raw_counts.get(sp, 0)),
+            "usage": round(r["usage_pct"] / 100.0, 7),
+            "Viability Ceiling": ceiling,
+            **{name.title().replace("_", " "):
+               {row["key"]: row["share"] for row in rows}
+               for name, rows in sections.items() if name != "stats"},
+            "Teammates": {row["teammate"]: row["weight"] for row in mates},
+            "Checks and Counters": {
+                row["opponent"]: dict(n=row["n"], p=row["p"], d=row["d"])
+                for row in checks},
+        }
+    info = {"metagame": fmt, "cutoff": cutoff, "cutoff deviation": 0,
+            "team type": None, "number of battles": battles}
+    return s, {"info": info, "data": chaos_data}
+
+
+def _round_str_simple(v: float) -> str:
+    import math
+    num = math.floor(v * 1e12 + 0.5) / 1e12
+    return f"{num:.1f}" if num == math.floor(num) else repr(num)
