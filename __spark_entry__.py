@@ -942,22 +942,35 @@ def oracle_sql() -> dict[str, str]:
 
     from stats_spark.plans import tiers as _tiers
     from stats_spark.functions import sqlgen as _sg
+    # current tiers (incl. the deterministic XBL overlay) and the BL
+    # lists are CONFIG inputs to the ladder (the reference reads them
+    # from gen data / Reports.BL) — inline them as literals
     tier_vals = ", ".join(
-        f"('{r.species_id}', '{r.tier}')"
-        for r in _dims().species_table().itertuples())
+        f"('{s}', '{t}')" for s, t in sorted(_tiers.current_tiers().items()))
     ladder = _tiers.LADDER
-    known = "('Ubers', " + ", ".join(f"'{t}'" for _, t in ladder) + ")"
-    tier_fmts = ", ".join(f"'{f}'" for f, _ in ladder)
+    known = "(" + ", ".join(f"'{t}'" for t in _tiers.TIER_ORDER) + ")"
+    tier_fmts = ", ".join(f"'{f}'" for f, _t, _b in ladder)
     rise = repr(_tiers.RISE)
     cascade = "CASE WHEN current_tier = 'Ubers' THEN 'Ubers' "
-    tiers_seq = [t for _, t in ladder] + [_tiers.FLOOR]
-    for i, (fmt, tier) in enumerate(ladder):
+    tiers_seq = [t for _f, t, _b in ladder] + [_tiers.FLOOR]
+    for i, (fmt, tier, ban) in enumerate(ladder):
         lower = tiers_seq[i + 1]
         cascade += f"WHEN u_{fmt} > {rise} THEN '{tier}' "
         cascade += (f"WHEN current_tier = '{tier}' THEN "
                     f"(CASE WHEN u_{fmt} < {rise} THEN '{lower}' "
                     f"ELSE '{tier}' END) ")
+        if ban:
+            cascade += f"WHEN current_tier = '{ban}' THEN '{ban}' "
     cascade += f"ELSE '{_tiers.FLOOR}' END"
+    # BL-list override — reports.ts:611-614
+    bl = _tiers.bl_sets()
+    final = f"({cascade})"
+    for _f, tier, ban in ladder:
+        if ban and bl.get(ban):
+            members = ", ".join(f"'{s}'" for s in sorted(bl[ban]))
+            final = (f"(CASE WHEN ({cascade}) = '{tier}' "
+                     f"AND species IN ({members}) THEN '{ban}' "
+                     f"ELSE {final} END)")
     sql["tr_tier_update"] = f"""
       WITH {_rejects_cte()},
       sides AS (
@@ -1002,14 +1015,15 @@ def oracle_sql() -> dict[str, str]:
                  AS current_tier,
                {", ".join(
                    f"coalesce(max(CASE WHEN c.format = '{fmt}' THEN usage END), 0.0) AS u_{fmt}"
-                   for fmt, _ in ladder)}
+                   for fmt, _t, _b in ladder)}
         FROM (VALUES {tier_vals}) AS d(species, tier)
         LEFT JOIN combined c ON c.species = d.species
         GROUP BY 1, 2)
       SELECT species, current_tier,
-             {cascade} AS updated_tier,
-             ({cascade}) <> current_tier AS changed,
-             {", ".join(f"round(u_{fmt}, 6) AS usage_{fmt}" for fmt, _ in ladder)}
+             {final} AS updated_tier,
+             {final} <> current_tier AS changed,
+             {", ".join(f"round(u_{fmt}, 6) AS usage_{fmt}"
+                        for fmt, _t, _b in ladder)}
       FROM pivoted"""
 
     sql["tr_teammate_pairs"] = f"""

@@ -160,57 +160,111 @@ SINKS = ["usage", "usage_tagged", "usage_totals", "moveset", "teammates",
          "viability"]
 
 
+def completed_sinks(spark: SparkSession, out_dir: str,
+                    job: str = "stats_pipeline") -> set[str]:
+    """Sinks the lineage ledger records as committed AND whose output
+    still carries a _SUCCESS marker — the resume predicate
+    (logs/src/checkpoints.ts:31-47 analog)."""
+    lin = tables.read_lineage(spark, out_dir)
+    if lin is None:
+        return set()
+    done = set()
+    for r in lin.filter(F.col("job") == job) \
+                .select("partition", "path").collect():
+        if os.path.exists(os.path.join(r.path, "_SUCCESS")):
+            done.add(r.partition)
+    return done
+
+
 def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                  cutoffs: list[int] = dims.DEFAULT_CUTOFFS,
                  checkpoint_battles: bool = True,
                  sinks: list[str] | None = None,
-                 count_rows: bool = True) -> dict:
+                 count_rows: bool = True,
+                 resume: bool = False) -> dict:
     """Full job: scan → parse → enrich → aggregate → ROUTE to per-sink
-    partitioned parquet trees + lineage records.  Returns metrics."""
+    partitioned parquet trees + per-sink lineage records.
+
+    ``resume=True`` makes the run idempotent: the battles checkpoint is
+    reused when its _SUCCESS marker exists, and any sink the lineage
+    ledger records as committed (with its output intact) is skipped —
+    only missing/incomplete sinks are recomputed."""
     t0 = time.time()
-    tr = tables.load_transcripts(spark, corpus_paths)
-    cv = tables.load_conversations(spark, corpus_paths)
-    battles = parse_battles(tr, cv)
+    done = completed_sinks(spark, out_dir) if resume else set()
 
-    if checkpoint_battles:
-        # S5 checkpoint: compact columnar intermediate, partitioned on
-        # the routing key; downstream stages re-read it (resume point).
-        bpath = os.path.join(out_dir, "battles")
-        n_out = max(8, spark.sparkContext.defaultParallelism // 2)
-        (battles.repartition(n_out, "format", "conv_id")
-         .write.mode("overwrite").partitionBy("format")
-         .parquet(bpath))
+    bpath = os.path.join(out_dir, "battles")
+    if (resume and checkpoint_battles
+            and os.path.exists(os.path.join(bpath, "_SUCCESS"))):
         battles = spark.read.parquet(bpath)
-    t_parse = time.time() - t0
+        t_parse = 0.0
+    else:
+        tr = tables.load_transcripts(spark, corpus_paths)
+        cv = tables.load_conversations(spark, corpus_paths)
+        battles = parse_battles(tr, cv)
+        if checkpoint_battles:
+            # S5 checkpoint: compact columnar intermediate, partitioned
+            # on the routing key; downstream re-reads it (resume point).
+            n_out = max(8, spark.sparkContext.defaultParallelism // 2)
+            (battles.repartition(n_out, "format", "conv_id")
+             .write.mode("overwrite").partitionBy("format")
+             .parquet(bpath))
+            battles = spark.read.parquet(bpath)
+        t_parse = time.time() - t0
 
-    frames = build_frames(spark, battles, cutoffs, cache=True)
+    todo = [s for s in (sinks or SINKS) if s not in done]
+    metrics = [dict(partition=s, path=os.path.join(out_dir, s), rows=-1,
+                    seconds=0.0, skipped=True) for s in (sinks or SINKS)
+               if s in done]
 
-    # materialize the shared cached intermediates once, up front — the
-    # parallel sink writers then all hit the cache instead of racing to
-    # compute it
-    for df in frames["_cached"]:
-        df.count()
+    if todo or "rejects" not in done:
+        frames = build_frames(spark, battles, cutoffs, cache=True)
+        # materialize the shared cached intermediates once, up front —
+        # the parallel sink writers then all hit the cache instead of
+        # racing to compute it
+        for df in frames["_cached"]:
+            df.count()
 
-    def write_one(sink: str) -> dict:
-        ts = time.time()
-        df = frames[sink]
-        part = ("format", "cutoff") if "cutoff" in df.columns else ("format",)
-        path = tables.write_routed(df, out_dir, sink, partition_cols=part)
-        rows = spark.read.parquet(path).count() if count_rows else -1
-        return dict(partition=sink, path=path, rows=rows,
-                    seconds=round(time.time() - ts, 2))
+        import threading
+        lineage_lock = threading.Lock()
 
-    # the sinks are many *small* jobs — submit them concurrently so
-    # scheduling overhead overlaps and the executors stay saturated
-    # (Spark's scheduler interleaves jobs from multiple threads)
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        metrics = list(pool.map(write_one, sinks or SINKS))
-    # dead-letter route — P8 rejects
-    rej = frames["rejects"].select("conv_id", "format", "day", "error", "ts")
-    rej.write.mode("overwrite").parquet(os.path.join(out_dir, "rejects"))
-    metrics.append(dict(partition="rejects", path=os.path.join(out_dir, "rejects"),
-                        rows=rej.count() if count_rows else -1, seconds=0.0))
-    tables.write_lineage(spark, out_dir, "stats_pipeline", metrics)
+        def write_one(sink: str) -> dict:
+            ts = time.time()
+            df = frames[sink]
+            part = (("format", "cutoff") if "cutoff" in df.columns
+                    else ("format",))
+            path = tables.write_routed(df, out_dir, sink,
+                                       partition_cols=part)
+            rows = spark.read.parquet(path).count() if count_rows else -1
+            m = dict(partition=sink, path=path, rows=rows,
+                     seconds=round(time.time() - ts, 2), skipped=False)
+            # per-sink lineage commit — a killed run resumes from here.
+            # Serialized: concurrent appends to one parquet dir share a
+            # _temporary dir and can clobber each other's commits.
+            with lineage_lock:
+                tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
+            return m
+
+        # the sinks are many *small* jobs — submit them concurrently so
+        # scheduling overhead overlaps and the executors stay saturated
+        # (Spark's scheduler interleaves jobs from multiple threads)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            metrics += list(pool.map(write_one, todo))
+
+        if "rejects" not in done:
+            # dead-letter route — P8 rejects
+            rej = frames["rejects"].select("conv_id", "format", "day",
+                                           "error", "ts")
+            rpath = os.path.join(out_dir, "rejects")
+            rej.write.mode("overwrite").parquet(rpath)
+            m = dict(partition="rejects", path=rpath,
+                     rows=rej.count() if count_rows else -1, seconds=0.0,
+                     skipped=False)
+            tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
+            metrics.append(m)
+        else:
+            metrics.append(dict(partition="rejects",
+                                path=os.path.join(out_dir, "rejects"),
+                                rows=-1, seconds=0.0, skipped=True))
     return dict(seconds=time.time() - t0, parse_seconds=round(t_parse, 2),
                 sinks=metrics)

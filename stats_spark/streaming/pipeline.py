@@ -21,8 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, text string, "
-                  "tool string, ts timestamp, day string")
+# turn_idx is bigint: the pandas-written corpus stores INT64 and the
+# streaming parquet reader enforces the declared type exactly
+TRANSCRIPT_DDL = ("conv_id string, turn_idx bigint, role string, "
+                  "text string, tool string, ts timestamp, day string")
 
 
 def read_transcript_stream(spark: SparkSession, corpus_paths: dict) -> DataFrame:
@@ -54,6 +56,95 @@ def stream_usage_raw(stream: DataFrame, window: str = "30 minutes",
             .agg(F.count("*").alias("n_convs"))
             .select("format", F.col("window.start").alias("window_start"),
                     "n_convs"))
+
+
+def stream_battles(spark: SparkSession, corpus_paths: dict,
+                   dims_payload: dict | None = None,
+                   max_files: int = 4) -> DataFrame:
+    """Stateful FSM-on-stream: the streaming twin of parse_battles.
+
+    ``applyInPandasWithState`` keyed by conv_id buffers a conversation's
+    protocol lines across micro-batches (arbitrary arrival order within
+    a batch is fine — lines re-sort by turn_idx at emit, the W1
+    invariant) and runs the SAME parse_battle FSM the batch operator
+    runs once the terminal |win|/|tie| line arrives.  Conversation
+    metadata rides along via a stream-static join with the
+    conversations table (broadcast at cluster scale).
+
+    Emits one battle row per completed conversation in append mode —
+    checkpointable, idempotent, and byte-equal to the batch parse
+    output (asserted by tests/test_streaming_fsm.py)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from stats_spark.operators.parse import (BATTLE_SCHEMA, TEAM_FIELDS,
+                                             ParseError, _reject_row,
+                                             make_dims_payload, parse_battle)
+
+    D = dims_payload or make_dims_payload()
+
+    stream = (spark.readStream
+              .schema(TRANSCRIPT_DDL + ", format string")
+              .option("maxFilesPerTrigger", str(max_files))
+              .parquet(corpus_paths["transcripts"]))
+    cv = spark.read.parquet(corpus_paths["conversations"])
+    cv_json = cv.select("conv_id",
+                        F.to_json(F.struct(*cv.columns)).alias("meta_json"))
+    joined = stream.join(cv_json, "conv_id")
+
+    state_schema = "meta string, idxs array<int>, lines array<string>"
+    raw_schema = (BATTLE_SCHEMA
+                  .replace(f"p1_team array<struct<{TEAM_FIELDS}>>",
+                           "p1_team string")
+                  .replace(f"p2_team array<struct<{TEAM_FIELDS}>>",
+                           "p2_team string")
+                  .replace("matchups array<struct<a:string,b:string,outcome:int>>",
+                           "matchups string"))
+
+    def fn(key, pdfs, state):
+        meta_json, idxs, lines = (state.get if state.exists
+                                  else (None, [], []))
+        idxs, lines = list(idxs), list(lines)
+        done = False
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                meta_json = meta_json or r["meta_json"]
+                idxs.append(int(r["turn_idx"]))
+                lines.append(r["text"])
+                if r["text"].startswith("|win|") or r["text"] == "|tie":
+                    done = True
+        if not done:
+            state.update((meta_json, idxs, lines))
+            return
+        state.remove()
+        meta = json.loads(meta_json) if meta_json else dict(conv_id=key[0])
+        ordered = [t for _i, t in sorted(zip(idxs, lines))]
+        if meta.get("p1") is None:
+            row = _reject_row(dict(conv_id=key[0]),
+                              "No conversation metadata")
+        else:
+            try:
+                row = parse_battle(meta, ordered, D)
+            except ParseError as e:
+                row = _reject_row(meta, str(e))
+        for k in ("p1_team", "p2_team", "matchups"):
+            row[k] = json.dumps(row[k]) if row[k] is not None else None
+        if isinstance(row.get("ts"), str):   # the meta JSON round-trip
+            row["ts"] = pd.Timestamp(row["ts"])
+        yield pd.DataFrame([row])
+
+    out = joined.groupBy("conv_id").applyInPandasWithState(
+        fn, raw_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    team_t = f"array<struct<{TEAM_FIELDS}>>"
+    return (out
+            .withColumn("p1_team", F.from_json("p1_team", team_t))
+            .withColumn("p2_team", F.from_json("p2_team", team_t))
+            .withColumn("matchups",
+                        F.from_json("matchups",
+                                    "array<struct<a:string,b:string,outcome:int>>")))
 
 
 def run_available_now(df: DataFrame, query_name: str,
