@@ -743,8 +743,11 @@ def oracle_sql() -> dict[str, str]:
       FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
       WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.30"""
 
+    # two 60-bit hashes per md5 digest (hex chars 1-15 and 17-31),
+    # mirroring dedup.minhash_signature's halved-md5 scheme
     minhash_cols = ", ".join(
-        "min({h}) AS h{i}".format(h=_md5_long("sh || '#%d'" % i), i=i)
+        f"min(('0x' || substr(md5(sh || '#{i // 2}'), "
+        f"{1 if i % 2 == 0 else 17}, 15))::UBIGINT) AS h{i}"
         for i in range(16))
     band_structs = ", ".join(
         f"struct_pack(band := {bi}, key := h{bi * 2}::VARCHAR || '_' || h{bi * 2 + 1}::VARCHAR)"

@@ -82,14 +82,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", w: int = 3,
                       k: int = 16) -> DataFrame:
-    """K minhashes per doc: min over shingles of md5(shingle || '#i')."""
+    """K minhashes per doc.  Each md5 digest yields TWO independent
+    60-bit hashes (hex chars 0-14 and 16-30), so k hashes cost k/2 md5
+    calls per shingle row — md5 is the whole cost of this operator at
+    scale.  h_{2i}   = min over shingles of md5(sh || '#i')[0:15]
+            h_{2i+1} = min over shingles of md5(sh || '#i')[16:31]."""
     sh = doc_shingles(docs, text_col, id_col, w)
-    hashes = [
-        F.min(T.md5_long(F.concat(F.col("sh"), F.lit(f"#{i}"))))
-         .alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy("id").agg(*hashes)
+    digests = [F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))
+               for i in range((k + 1) // 2)]
+    proj = sh.select("id", *[
+        F.conv(F.substring(d, 1 + 16 * (j % 2), 15), 16, 10)
+         .cast("long").alias(f"h{2 * (i) + (j % 2)}")
+        for i, d in enumerate(digests) for j in range(2)
+        if 2 * i + (j % 2) < k
+    ])
+    return proj.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)])
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",

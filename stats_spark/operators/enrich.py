@@ -172,10 +172,23 @@ def classify_sides(mons: DataFrame) -> DataFrame:
 
 
 def explode_cutoffs(df: DataFrame,
-                    cutoffs: list[int] = dims.DEFAULT_CUTOFFS) -> DataFrame:
+                    cutoffs=dims.DEFAULT_CUTOFFS) -> DataFrame:
     """A13 multi-cutoff fan-out: one pass computes every cutoff — the
-    dimension becomes an ordinary group-by column."""
-    arr = F.array(*[F.lit(c) for c in cutoffs])
+    dimension becomes an ordinary group-by column.
+
+    ``cutoffs`` is a plain list applied to every format, or a
+    dict[format, list[int]] for the reference's date/format-dependent
+    cutoff sets (workflows/smogon/stats.ts:55-72): the per-format array
+    is selected JVM-side from a broadcast literal map."""
+    if isinstance(cutoffs, dict):
+        entries = []
+        for fmt, cs in sorted(cutoffs.items()):
+            entries += [F.lit(fmt), F.array(*[F.lit(c) for c in cs])]
+        mp = F.create_map(*entries)
+        default = F.array(*[F.lit(c) for c in dims.DEFAULT_CUTOFFS])
+        arr = F.coalesce(mp.getItem(F.col("format")), default)
+    else:
+        arr = F.array(*[F.lit(c) for c in cutoffs])
     return df.withColumn("cutoff", F.explode(arr))
 
 

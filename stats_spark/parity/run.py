@@ -51,6 +51,90 @@ def build_format_frames(spark, fmt: str) -> dict:
                 counts=counts)
 
 
+def gen_for_format(fmt: str) -> int:
+    """util.ts genForFormat."""
+    import re
+    m = re.match(r"gen(\d)", fmt)
+    return int(m.group(1)) if m else 6
+
+
+def side_class_frame(spark, battles):
+    """Per-(conv_id, side) legacy classification rows: the reference
+    classifies during parse (parser.ts:113); here it is a mapInPandas
+    over the parsed battles (teams cross the Arrow boundary as JSON —
+    see the parse operator's rationale)."""
+    import json
+
+    import pandas as pd
+
+    b = battles.filter("error IS NULL").select(
+        "conv_id", "format",
+        F.to_json("p1_team").alias("t1"), F.to_json("p2_team").alias("t2"))
+
+    def fn(batches):
+        from stats_spark.parity import classifier_legacy as C
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                gen = gen_for_format(r.format)
+                for side, tj in (("p1", r.t1), ("p2", r.t2)):
+                    team = json.loads(tj) if tj else []
+                    bias, stall, tags = C.classify_team(gen, team)
+                    rows.append(dict(conv_id=r.conv_id, side=side,
+                                     team_bias=bias, team_stalliness=stall,
+                                     tags=tags, n_slots=len(team)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = ("conv_id string, side string, team_bias long, "
+              "team_stalliness double, tags array<string>, n_slots int")
+    return b.mapInPandas(fn, schema=schema)
+
+
+def add_metagame_frames(spark, fmt: str, frames: dict) -> dict:
+    """metagame tag weights + stalliness samples: the reference adds
+    weights.s once per team SLOT (incl. legacy 'empty' padding) —
+    stats.ts:284-297."""
+    battles = frames["battles"]
+    sc = side_class_frame(spark, battles)
+    payload = gen_data.dims_payload(legacy=True)
+    sides = enrich.with_effective_rating(
+        enrich.sides_from_battles(battles.filter("error IS NULL"),
+                                  non_singles=payload["non_singles"],
+                                  non_6v6=payload["non_6v6"]))
+    sw = enrich.with_weight(enrich.explode_cutoffs(
+        sides.join(sc, ["conv_id", "side"]), CUTOFFS))
+    meta = (sw.filter(~F.col("short"))
+            .select("format", "cutoff",
+                    (F.col("weight") * F.col("n_slots")).alias("w"),
+                    F.explode("tags").alias("tag"))
+            .groupBy("format", "cutoff", "tag")
+            .agg(F.sum("w").alias("weight")))
+    samples = (sw.filter(~F.col("short"))
+               .select("format", "cutoff", "team_stalliness", "weight",
+                       "n_slots"))
+    frames["meta"] = meta
+    frames["samples"] = samples
+    return frames
+
+
+def render_metagame(fmt: str, cutoff: int, frames: dict) -> str:
+    """reports.ts:367-412 via the engine's exact renderer, with the
+    reference's per-slot sample expansion."""
+    from stats_spark.plans.reports import render_metagame_report
+
+    tags = [(r.tag, r.weight) for r in
+            frames["meta"].filter((F.col("cutoff") == cutoff)
+                                  & (F.col("format") == fmt)).collect()]
+    samples = []
+    for r in frames["samples"].filter((F.col("cutoff") == cutoff)
+                                      & (F.col("format") == fmt)).collect():
+        samples.extend([(r.team_stalliness, r.weight)] * r.n_slots)
+    tot = {r["format"]: r["total_usage_weighted"] for r in
+           frames["totals"].filter(F.col("cutoff") == cutoff).collect()}
+    return render_metagame_report(tags, tot.get(fmt, 0.0), samples)
+
+
 def _js_num(v: float) -> str:
     """JS Number#toString for the roundStr path (shortest repr)."""
     r = repr(v)

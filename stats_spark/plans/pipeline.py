@@ -32,8 +32,47 @@ from stats_spark.functions.weights import weighting_udf
 from stats_spark.sources import tables
 
 
+# date/format-dependent cutoff selection — workflows/smogon/stats.ts:42-72
+CUTOFF_SETS = {
+    "default": [0, 1500, 1630, 1760],
+    "popular": [0, 1500, 1695, 1825],
+}
+
+POPULAR = {
+    6: ["ou", "oususpecttest", "doublesou", "randombattle",
+        "smogondoubles", "doublesou", "doublesoususpecttest"],
+    7: ["gen7ou", "gen7oususpecttest", "gen7doublesou",
+        "gen7doublesoususpecttest", "gen7pokebankou",
+        "gen7pokebankoususpecttest", "gen7pokebankdoublesou"],
+    8: ["gen8doublesou", "gen8doublesoususpect", "gen8ou",
+        "gen8oususpecttest"],
+    9: ["gen9doublesou", "gen9doublesoususpect", "gen9ou",
+        "gen9oususpecttest"],
+}
+
+
+def cutoffs_for(fmt: str, date: str) -> list[int]:
+    """workflows/smogon/stats.ts:60-72, rule for rule."""
+    if fmt in POPULAR[6]:
+        return CUTOFF_SETS["popular"]
+    if fmt == "gen7doublesou" and date < "2017-02":
+        return CUTOFF_SETS["default"]
+    if fmt in POPULAR[7]:
+        return CUTOFF_SETS["default"] if date > "2020-01" \
+            else CUTOFF_SETS["popular"]
+    if fmt == "smogondoublessuspecttest" and date == "2015-04":
+        return CUTOFF_SETS["popular"]
+    popular = fmt in POPULAR[8] or fmt in POPULAR[9]
+    return CUTOFF_SETS["popular"] if popular else CUTOFF_SETS["default"]
+
+
+def cutoff_map(date: str, formats: list[str] | None = None) -> dict:
+    fmts = formats or [f for f, *_ in dims.FORMATS]
+    return {f: cutoffs_for(f, date) for f in fmts}
+
+
 def battles_weighted(battles: DataFrame,
-                     cutoffs: list[int] = dims.DEFAULT_CUTOFFS,
+                     cutoffs=dims.DEFAULT_CUTOFFS,
                      non_singles: set | None = None,
                      non_6v6: set | None = None) -> DataFrame:
     """Battle × cutoff frame with both sides' weights and gate flags —
@@ -72,7 +111,7 @@ def battles_weighted(battles: DataFrame,
 
 
 def build_frames(spark: SparkSession, battles: DataFrame,
-                 cutoffs: list[int] = dims.DEFAULT_CUTOFFS,
+                 cutoffs=dims.DEFAULT_CUTOFFS,
                  cache: bool = False) -> dict:
     """All aggregate DataFrames (lazy) from a parsed battles frame.
 
@@ -177,19 +216,25 @@ def completed_sinks(spark: SparkSession, out_dir: str,
 
 
 def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
-                 cutoffs: list[int] = dims.DEFAULT_CUTOFFS,
+                 cutoffs=dims.DEFAULT_CUTOFFS,
                  checkpoint_battles: bool = True,
                  sinks: list[str] | None = None,
                  count_rows: bool = True,
-                 resume: bool = False) -> dict:
+                 resume: bool = False,
+                 date: str | None = None) -> dict:
     """Full job: scan → parse → enrich → aggregate → ROUTE to per-sink
     partitioned parquet trees + per-sink lineage records.
 
     ``resume=True`` makes the run idempotent: the battles checkpoint is
     reused when its _SUCCESS marker exists, and any sink the lineage
     ledger records as committed (with its output intact) is skipped —
-    only missing/incomplete sinks are recomputed."""
+    only missing/incomplete sinks are recomputed.
+
+    ``date`` ('YYYY-MM') switches to the reference's date/format-
+    dependent cutoff sets (popular formats get [0,1500,1695,1825])."""
     t0 = time.time()
+    if date is not None:
+        cutoffs = cutoff_map(date)
     done = completed_sinks(spark, out_dir) if resume else set()
 
     bpath = os.path.join(out_dir, "battles")

@@ -406,9 +406,16 @@ def render_metagame_report(tags: list, total_weighted: float,
     blocks = mx / 30
     if blocks <= 0:
         return s
+    def _fmod(a: float, b: float, f: float = 1e3) -> float:
+        # reports.ts:651-655 — rounds to 1e-3 and mods ABSOLUTE values
+        # (Python's math.fmod keeps sign and would mislabel negatives)
+        a = math.floor(a * f + 0.5) / f
+        b = math.floor(b * f + 0.5) / f
+        return (abs(a * f) % (b * f)) / f
+
     s += f"Stalliness (mean: {mean:.3f})\n"
     for hx, hw in histogram:
-        if math.fmod(hx, 2 * bin_size) < bin_size / 2:
+        if _fmod(hx, 2 * bin_size) < bin_size / 2:
             line = "+" if hx > 0 else (" " if hx == 0 else "")
             line += f"{hx:.1f}|"
         else:

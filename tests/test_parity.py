@@ -24,7 +24,9 @@ CUTOFFS = [0, 1500, 1630, 1760]
 @pytest.fixture(scope="module", params=fixtures.formats())
 def fmt_frames(request, spark):
     fmt = request.param
-    return fmt, run.build_format_frames(spark, fmt)
+    frames = run.build_format_frames(spark, fmt)
+    run.add_metagame_frames(spark, fmt, frames)
+    return fmt, frames
 
 
 def test_no_parse_rejects(fmt_frames):
@@ -46,4 +48,14 @@ def test_leads_byte_parity(fmt_frames, cutoff):
     fmt, frames = fmt_frames
     got = run.render_leads(fmt, cutoff, frames)
     want = fixtures.golden(fmt, "leads", cutoff)
+    assert got == want
+
+
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_metagame_byte_parity(fmt_frames, cutoff):
+    """Exercises the full legacy classifier (stalliness modifiers,
+    weather/style tags, monotype) + the stalliness histogram."""
+    fmt, frames = fmt_frames
+    got = run.render_metagame(fmt, cutoff, frames)
+    want = fixtures.golden(fmt, "metagame", cutoff)
     assert got == want
