@@ -107,7 +107,10 @@ def with_effective_rating(df: DataFrame) -> DataFrame:
                         F.when(valid, F.col("rprd"))
                          .when(F.col("outcome") != 0, F.lit(OUTCOME_RPRD))
                          .otherwise(F.lit(DEFAULT_RPRD)))
-            .withColumn("gxe", F.when(valid, gxe_expr("rpr", "rprd"))))
+            .withColumn("gxe",
+                        F.when(F.col("rpr").isNotNull()
+                               & F.col("rprd").isNotNull(),
+                               gxe_expr("rpr", "rprd"))))
 
 
 def enrich_mons(sides: DataFrame, spark) -> DataFrame:

@@ -159,7 +159,8 @@ def canonicalize_team(team: Iterable[dict], D: dict) -> list[dict]:
             nature=nature, moves=moves, name=p.get("name"),
             level=int(p.get("forced_level") or p.get("level") or 100),
             happiness=255 if p.get("happiness") is None else int(p["happiness"]),
-            tera_type=to_id_py(p.get("tera_type")) or "nothing",
+            # kept RAW (not id'd) — parser.ts:317 `teraType || 'nothing'`
+            tera_type=p.get("tera_type") or "nothing",
             turns_out=0, kos=0,
         )
         for k in EV_KEYS:

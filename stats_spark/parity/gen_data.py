@@ -108,8 +108,7 @@ ITEMS = {
     "berryjuice", "bigroot", "blacksludge", "blastoisinite", "blueorb",
     "bottlecap", "bugmemory", "burndrive", "cameruptite", "charizarditex",
     "charizarditey", "cherishball", "chilldrive", "choicescarf",
-    "choicespecs", "cobaberry", "coverfossil", "dubiousdisc", "ejectbutton",
-    "energypowder", "eviolite", "fairiumz", "firestone", "focussash",
+    "choicespecs", "cobaberry", "coverfossil", "dubiousdisc", "ejectbutton", "eviolite", "fairiumz", "firestone", "focussash",
     "gengarite", "goldbottlecap", "grassyseed", "gyaradosite", "hardstone",
     "heavyball", "iapapaberry", "ironball", "leafstone", "leftovers",
     "levelball", "lifeorb", "luminousmoss", "magnet", "metagrossite",
@@ -162,6 +161,158 @@ NON_6V6_LEGACY = {"gen7challengecup1v1"}
 
 # reports.ts:100 — EXACT format names ranked by `real`
 REAL_RANKED = {"challengecup1v1", "1v1"}
+
+
+# Display names for the move/ability/item ids observed in the fixture
+# data.  Used ONLY for the display-name tie-break inside toDisplayObject
+# (util.ts:296-309) — the emitted keys stay raw ids.  Ids not listed
+# here display as their capitalized id (single-word names).
+DISPLAY_NAMES: dict[str, str] = {
+    # moves
+    "acidspray": "Acid Spray", "aerialace": "Aerial Ace",
+    "airslash": "Air Slash", "ancientpower": "Ancient Power",
+    "aquajet": "Aqua Jet", "aquaring": "Aqua Ring",
+    "bodyslam": "Body Slam", "brickbreak": "Brick Break",
+    "brutalswing": "Brutal Swing", "bubblebeam": "Bubble Beam",
+    "calmmind": "Calm Mind", "clearsmog": "Clear Smog",
+    "closecombat": "Close Combat", "darkpulse": "Dark Pulse",
+    "dazzlinggleam": "Dazzling Gleam", "defensecurl": "Defense Curl",
+    "destinybond": "Destiny Bond", "diamondstorm": "Diamond Storm",
+    "doubleedge": "Double-Edge", "doublekick": "Double Kick",
+    "doubleteam": "Double Team", "dracometeor": "Draco Meteor",
+    "dragonascent": "Dragon Ascent", "dragonclaw": "Dragon Claw",
+    "dragondance": "Dragon Dance", "dragontail": "Dragon Tail",
+    "drainpunch": "Drain Punch", "dreameater": "Dream Eater",
+    "drillrun": "Drill Run", "earthpower": "Earth Power",
+    "echoedvoice": "Echoed Voice", "electroball": "Electro Ball",
+    "energyball": "Energy Ball", "extremespeed": "Extreme Speed",
+    "fakeout": "Fake Out", "falseswipe": "False Swipe",
+    "fireblast": "Fire Blast", "firefang": "Fire Fang",
+    "flameburst": "Flame Burst", "flamecharge": "Flame Charge",
+    "flareblitz": "Flare Blitz", "flashcannon": "Flash Cannon",
+    "flipturn": "Flip Turn", "focusblast": "Focus Blast",
+    "focuspunch": "Focus Punch", "furycutter": "Fury Cutter",
+    "fusionbolt": "Fusion Bolt", "gastroacid": "Gastro Acid",
+    "gigadrain": "Giga Drain", "gigaimpact": "Giga Impact",
+    "grassknot": "Grass Knot", "headsmash": "Head Smash",
+    "heatwave": "Heat Wave", "hiddenpowerbug": "Hidden Power Bug",
+    "hiddenpowerdark": "Hidden Power Dark",
+    "hiddenpowerelectric": "Hidden Power Electric",
+    "hiddenpowerfighting": "Hidden Power Fighting",
+    "hiddenpowerghost": "Hidden Power Ghost",
+    "hiddenpowergrass": "Hidden Power Grass",
+    "horndrill": "Horn Drill", "hydropump": "Hydro Pump",
+    "hyperbeam": "Hyper Beam", "hypervoice": "Hyper Voice",
+    "icebeam": "Ice Beam", "icepunch": "Ice Punch",
+    "icywind": "Icy Wind", "irondefense": "Iron Defense",
+    "ironhead": "Iron Head", "irontail": "Iron Tail",
+    "ivycudgel": "Ivy Cudgel", "jetpunch": "Jet Punch",
+    "kingsshield": "King's Shield", "knockoff": "Knock Off",
+    "kowtowcleave": "Kowtow Cleave", "laserfocus": "Laser Focus",
+    "lastresort": "Last Resort", "lowkick": "Low Kick",
+    "magicalleaf": "Magical Leaf", "magiccoat": "Magic Coat",
+    "megakick": "Mega Kick", "mudshot": "Mud Shot",
+    "mudslap": "Mud-Slap", "mudsport": "Mud Sport",
+    "naturalgift": "Natural Gift", "nightslash": "Night Slash",
+    "odorsleuth": "Odor Sleuth", "originpulse": "Origin Pulse",
+    "perishsong": "Perish Song", "petaldance": "Petal Dance",
+    "photongeyser": "Photon Geyser", "pinmissile": "Pin Missile",
+    "playrough": "Play Rough", "poisonjab": "Poison Jab",
+    "poweruppunch": "Power-Up Punch", "psychoshift": "Psycho Shift",
+    "psychup": "Psych Up", "quickattack": "Quick Attack",
+    "quiverdance": "Quiver Dance", "ragepowder": "Rage Powder",
+    "raindance": "Rain Dance", "rapidspin": "Rapid Spin",
+    "relicsong": "Relic Song", "rockblast": "Rock Blast",
+    "rockpolish": "Rock Polish", "rockslide": "Rock Slide",
+    "rocksmash": "Rock Smash", "rockthrow": "Rock Throw",
+    "sacredsword": "Sacred Sword", "scaryface": "Scary Face",
+    "secretpower": "Secret Power", "secretsword": "Secret Sword",
+    "seedbomb": "Seed Bomb", "seismictoss": "Seismic Toss",
+    "selfdestruct": "Self-Destruct", "shadowball": "Shadow Ball",
+    "shadowclaw": "Shadow Claw", "shadowsneak": "Shadow Sneak",
+    "shockwave": "Shock Wave", "signalbeam": "Signal Beam",
+    "skyattack": "Sky Attack", "sleeppowder": "Sleep Powder",
+    "sleeptalk": "Sleep Talk", "sludgebomb": "Sludge Bomb",
+    "sludgewave": "Sludge Wave", "smartstrike": "Smart Strike",
+    "solarbeam": "Solar Beam", "spikyshield": "Spiky Shield",
+    "stealthrock": "Stealth Rock", "stoneedge": "Stone Edge",
+    "stringshot": "String Shot", "strugglebug": "Struggle Bug",
+    "stunspore": "Stun Spore", "suckerpunch": "Sucker Punch",
+    "sunnyday": "Sunny Day", "superfang": "Super Fang",
+    "swordsdance": "Swords Dance", "tailwhip": "Tail Whip",
+    "teeterdance": "Teeter Dance", "terastarstorm": "Tera Starstorm",
+    "thousandarrows": "Thousand Arrows", "throatchop": "Throat Chop",
+    "thunderpunch": "Thunder Punch", "thunderwave": "Thunder Wave",
+    "toxicspikes": "Toxic Spikes", "trickroom": "Trick Room",
+    "uturn": "U-turn", "voltswitch": "Volt Switch",
+    "waterpulse": "Water Pulse", "watershuriken": "Water Shuriken",
+    "wavecrash": "Wave Crash", "zapcannon": "Zap Cannon",
+    # abilities
+    "airlock": "Air Lock", "arenatrap": "Arena Trap",
+    "aurabreak": "Aura Break", "battlebond": "Battle Bond",
+    "beastboost": "Beast Boost", "bigpecks": "Big Pecks",
+    "clearbody": "Clear Body", "honeygather": "Honey Gather",
+    "hypercutter": "Hyper Cutter", "innerfocus": "Inner Focus",
+    "ironfist": "Iron Fist", "leafguard": "Leaf Guard",
+    "lightningrod": "Lightning Rod", "liquidooze": "Liquid Ooze",
+    "magmaarmor": "Magma Armor", "magnetpull": "Magnet Pull",
+    "moldbreaker": "Mold Breaker", "naturalcure": "Natural Cure",
+    "noguard": "No Guard", "owntempo": "Own Tempo",
+    "poisonpoint": "Poison Point", "powerconstruct": "Power Construct",
+    "primordialsea": "Primordial Sea", "prismarmor": "Prism Armor",
+    "raindish": "Rain Dish", "rockhead": "Rock Head",
+    "runaway": "Run Away", "sandveil": "Sand Veil",
+    "serenegrace": "Serene Grace", "sheerforce": "Sheer Force",
+    "shellarmor": "Shell Armor", "skilllink": "Skill Link",
+    "speedboost": "Speed Boost", "stancechange": "Stance Change",
+    "stickyhold": "Sticky Hold", "stormdrain": "Storm Drain",
+    "superluck": "Super Luck", "supremeoverlord": "Supreme Overlord",
+    "surgesurfer": "Surge Surfer", "swiftswim": "Swift Swim",
+    "terashift": "Tera Shift", "toughclaws": "Tough Claws",
+    "vitalspirit": "Vital Spirit", "voltabsorb": "Volt Absorb",
+    "waterabsorb": "Water Absorb", "wimpout": "Wimp Out",
+    "wonderguard": "Wonder Guard", "zenmode": "Zen Mode",
+    "zerotohero": "Zero to Hero",
+    # items
+    "absorbbulb": "Absorb Bulb", "airballoon": "Air Balloon",
+    "apicotberry": "Apicot Berry", "aspearberry": "Aspear Berry",
+    "assaultvest": "Assault Vest", "berryjuice": "Berry Juice",
+    "bigroot": "Big Root", "blacksludge": "Black Sludge",
+    "blueorb": "Blue Orb", "bottlecap": "Bottle Cap",
+    "bugmemory": "Bug Memory", "burndrive": "Burn Drive",
+    "charizarditex": "Charizardite X", "charizarditey": "Charizardite Y",
+    "cherishball": "Cherish Ball", "chestoberry": "Chesto Berry",
+    "chilldrive": "Chill Drive", "choiceband": "Choice Band",
+    "choicescarf": "Choice Scarf", "choicespecs": "Choice Specs",
+    "cobaberry": "Coba Berry", "cornerstonemask": "Cornerstone Mask",
+    "coverfossil": "Cover Fossil", "dubiousdisc": "Dubious Disc",
+    "ejectbutton": "Eject Button", "fairiumz": "Fairium Z",
+    "firestone": "Fire Stone", "focussash": "Focus Sash",
+    "goldbottlecap": "Gold Bottle Cap", "grassyseed": "Grassy Seed",
+    "hardstone": "Hard Stone", "hearthflamemask": "Hearthflame Mask",
+    "heavyball": "Heavy Ball", "heavydutyboots": "Heavy-Duty Boots",
+    "iapapaberry": "Iapapa Berry", "ironball": "Iron Ball",
+    "leafstone": "Leaf Stone", "levelball": "Level Ball",
+    "lifeorb": "Life Orb", "luminousmoss": "Luminous Moss",
+    "metalpowder": "Metal Powder", "mewtwonitey": "Mewtwonite Y",
+    "mindplate": "Mind Plate", "moonball": "Moon Ball",
+    "moonstone": "Moon Stone", "netball": "Net Ball",
+    "normaliumz": "Normalium Z", "persimberry": "Persim Berry",
+    "pikaniumz": "Pikanium Z", "plumefossil": "Plume Fossil",
+    "powerband": "Power Band", "powerweight": "Power Weight",
+    "psychiumz": "Psychium Z", "quickclaw": "Quick Claw",
+    "redcard": "Red Card", "rockyhelmet": "Rocky Helmet",
+    "safariball": "Safari Ball", "safetygoggles": "Safety Goggles",
+    "smoothrock": "Smooth Rock", "starfberry": "Starf Berry",
+    "steelgem": "Steel Gem", "terrainextender": "Terrain Extender",
+    "ultranecroziumz": "Ultranecrozium Z", "wateriumz": "Waterium Z",
+    "weaknesspolicy": "Weakness Policy", "wellspringmask": "Wellspring Mask",
+    "yacheberry": "Yache Berry", "zapplate": "Zap Plate",
+}
+
+
+def display_name(key: str) -> str:
+    return DISPLAY_NAMES.get(key, key.capitalize())
 
 
 @lru_cache(maxsize=1)

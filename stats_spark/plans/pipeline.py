@@ -265,12 +265,16 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         frames = build_frames(spark, battles, cutoffs, cache=True)
         # materialize the shared cached intermediates once, up front —
         # the parallel sink writers then all hit the cache instead of
-        # racing to compute it
-        for df in frames["_cached"]:
+        # racing to compute it.  The first-level caches (mons,
+        # side_class) build serially since everything depends on them;
+        # the three ×cutoff caches then materialize CONCURRENTLY
+        from concurrent.futures import ThreadPoolExecutor
+        for df in frames["_cached"][:2]:
             df.count()
-
-        import threading
-        lineage_lock = threading.Lock()
+        rest = frames["_cached"][2:]
+        if rest:
+            with ThreadPoolExecutor(max_workers=len(rest)) as pool:
+                list(pool.map(lambda d: d.count(), rest))
 
         def write_one(sink: str) -> dict:
             ts = time.time()
@@ -282,11 +286,10 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
             rows = spark.read.parquet(path).count() if count_rows else -1
             m = dict(partition=sink, path=path, rows=rows,
                      seconds=round(time.time() - ts, 2), skipped=False)
-            # per-sink lineage commit — a killed run resumes from here.
-            # Serialized: concurrent appends to one parquet dir share a
-            # _temporary dir and can clobber each other's commits.
-            with lineage_lock:
-                tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
+            # per-sink lineage commit — a killed run resumes from here
+            # (driver-side pyarrow append to a uniquely-named file; no
+            # Spark job, safe under the concurrent sink pool)
+            tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
             return m
 
         # the sinks are many *small* jobs — submit them concurrently so

@@ -64,12 +64,31 @@ def write_lineage(spark: SparkSession, out_dir: str, job: str,
                   metrics: list[dict]) -> str:
     """Per-partition lineage + metrics records (north rule): appended
     alongside the data so a resumed run can skip completed partitions
-    (the reference's checkpoint ledger, logs/src/checkpoints.ts:31-47)."""
+    (the reference's checkpoint ledger, logs/src/checkpoints.ts:31-47).
+
+    Written directly with pyarrow from the driver — the ledger is a
+    handful of rows per commit, and submitting a Spark job per sink
+    commit serializes the job pipeline (measured as an Amdahl drag on
+    scaling).  One uniquely-named file per commit keeps appends atomic."""
+    import uuid
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     path = os.path.join(out_dir, "_lineage")
-    pdf = spark.createDataFrame(
-        [dict(job=job, **m) for m in metrics])
-    pdf = pdf.withColumn("committed_at", F.current_timestamp())
-    pdf.write.mode("append").parquet(path)
+    os.makedirs(path, exist_ok=True)
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    rows = [dict(job=job, committed_at=now, **m) for m in metrics]
+    table = pa.Table.from_pylist(rows)
+    schema = pa.schema([
+        pa.field(f.name, pa.timestamp("us")) if pa.types.is_timestamp(f.type)
+        else f for f in table.schema
+    ])
+    pq.write_table(table.cast(schema),
+                   os.path.join(path, f"commit-{uuid.uuid4().hex}.parquet"))
+    # _SUCCESS marker so plain-parquet readers treat the dir as a table
+    open(os.path.join(path, "_SUCCESS"), "a").close()
     return path
 
 

@@ -391,10 +391,16 @@ class OracleStats:
                        else 1 if battle["winner"] == side else -1)
             rpr, rprd, valid = effective_rating(
                 battle[f"{side}_rpr"], battle[f"{side}_rprd"], outcome)
+            # gxe requires a PRESENT rating, not a valid one (rprd==0
+            # still yields a gxe) — stats.ts:141-143
+            has_rating = (battle[f"{side}_rpr"] is not None
+                          and battle[f"{side}_rprd"] is not None
+                          and not (isinstance(battle[f"{side}_rpr"], float)
+                                   and math.isnan(battle[f"{side}_rpr"])))
             gxe = (math.floor(100 * victory_chance(battle[f"{side}_rpr"],
                                                    battle[f"{side}_rprd"],
                                                    1500, 130) + 0.5)
-                   if valid else None)
+                   if has_rating else None)
             ws = {c: weighting(rpr, rprd, c) for c in self.cutoffs}
             side_w[side] = ws
             team = battle[f"{side}_team"]

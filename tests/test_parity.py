@@ -26,6 +26,14 @@ def fmt_frames(request, spark):
     fmt = request.param
     frames = run.build_format_frames(spark, fmt)
     run.add_metagame_frames(spark, fmt, frames)
+    run.add_detailed_frames(spark, fmt, frames)
+    # cache + materialize every frame once: the 6 report renders × 4
+    # cutoffs each issue several tiny collects per frame
+    from pyspark.sql import DataFrame
+    for k, v in frames.items():
+        if isinstance(v, DataFrame):
+            frames[k] = v.cache()
+            frames[k].count()
     return fmt, frames
 
 
@@ -58,4 +66,37 @@ def test_metagame_byte_parity(fmt_frames, cutoff):
     fmt, frames = fmt_frames
     got = run.render_metagame(fmt, cutoff, frames)
     want = fixtures.golden(fmt, "metagame", cutoff)
+    assert got == want
+
+
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_movesets_byte_parity(fmt_frames, cutoff):
+    """Exercises the moveset maps (m-weights), legacy spreads
+    (gen-aware stat math), viability, teammates (incl. the empty-slot
+    overwrite quirk), checks & counters and the truncation rules."""
+    fmt, frames = fmt_frames
+    got = run.render_movesets_txt(fmt, cutoff, frames)
+    want = fixtures.golden(fmt, "movesets", cutoff)
+    assert got == want
+
+
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_detailed_byte_parity(fmt_frames, cutoff):
+    """The chaos JSON: exact key ordering (usage ranking + display-name
+    tie-broken maps + JS integer-key enumeration) and JS number
+    formatting."""
+    fmt, frames = fmt_frames
+    got = run.render_detailed(fmt, cutoff, frames)
+    want = fixtures.golden(fmt, "detailed", cutoff)
+    assert got == want
+
+
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_display_byte_parity(fmt_frames, cutoff):
+    """Display.fromStatistics: unique-player aggregates, win/lead
+    ratios with JS NaN->null semantics, computed-stats maps, and the
+    json-stringify-pretty-compact layout."""
+    fmt, frames = fmt_frames
+    got = run.render_display(fmt, cutoff, frames)
+    want = fixtures.golden(fmt, "display", cutoff)
     assert got == want
