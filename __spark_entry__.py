@@ -123,6 +123,52 @@ def _rejects_cte() -> str:
   )"""
 
 
+def _nature_mult_sql(stat: str) -> str:
+    d = _dims()
+    plus = sorted(n for n, (p, _m) in d.NATURES.items() if p == stat)
+    minus = sorted(n for n, (_p, m) in d.NATURES.items() if m == stat)
+    return (f"(CASE WHEN nature IN ({', '.join(map(repr, plus))}) THEN 1.1 "
+            f"WHEN nature IN ({', '.join(map(repr, minus))}) THEN 0.9 "
+            f"ELSE 1.0 END)")
+
+
+def _stat_sql(stat: str) -> str:
+    """gen>=3 stat formula (functions/statcalc.calc_stat twin)."""
+    core = (f"floor((2 * b_{stat} + iv_{stat} + floor(ev_{stat} / 4))"
+            f" * level / 100)")
+    if stat == "hp":
+        return f"(CASE WHEN b_hp = 1 THEN 1 ELSE {core} + level + 10 END)"
+    return f"floor(({core} + 5) * {_nature_mult_sql(stat)})"
+
+
+def _ev_out_sql(stat: str) -> str:
+    """statToEV round-trip (functions/statcalc.stat_to_ev twin)."""
+    if stat == "hp":
+        ev = (f"(ceil((stat_hp - level - 10) * 100 / level)"
+              f" - 2 * b_hp - iv_hp) * 4")
+        return f"(CASE WHEN b_hp = 1 THEN 0 ELSE greatest(0, {ev}) END)"
+    n = _nature_mult_sql(stat)
+    ev = (f"(ceil((ceil(stat_{stat} / {n}) - 5) * 100 / level)"
+          f" - 2 * b_{stat} - iv_{stat}) * 4")
+    return f"greatest(0, {ev})"
+
+
+def _mega_ability_sql(species: str, item: str, ability: str) -> str:
+    d = _dims()
+    whens = "".join(
+        f"WHEN {species} = '{sp}' AND {item} = '{it}' THEN '{ab}' "
+        for (sp, it), (_mega, ab) in sorted(d.mega_dict().items()))
+    return f"(CASE {whens}ELSE {ability} END)"
+
+
+def _species_stats_values() -> str:
+    d = _dims()
+    return ", ".join(
+        f"('{r.species_id}', {r.base_hp}, {r.base_atk}, {r.base_def}, "
+        f"{r.base_spa}, {r.base_spd}, {r.base_spe})"
+        for r in d.species_table().itertuples())
+
+
 def _weighted_mons_cte() -> str:
     """CTE chain: accepted conversations → side rows → effective
     ratings → UNNEST(team) with mega rewrite → × cutoffs with erf
@@ -831,6 +877,36 @@ def oracle_sql() -> dict[str, str]:
       WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6)
             >= 0.45"""
 
+    # LSH-bucketed ANN: the single-bucket hyperplane signature is
+    # seed-deterministic (similarity._planes), so DuckDB reproduces the
+    # exact buckets and the exact candidate set
+    from stats_spark.operators.similarity import _planes
+    pl = _planes(64, 8, 7)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(vec, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)" for p in pl)
+    sql["emb_ann_lsh"] = f"""
+      WITH nn AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> x::DOUBLE) AS vec
+        FROM embeddings),
+      nb AS (
+        SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm,
+               ({bits}) AS bucket
+        FROM nn),
+      scored AS (
+        SELECT q.id AS q_id, a.id AS neighbor_id,
+               round(list_dot_product(a.vec, q.vec) / (a.nrm * q.nrm), 6)
+                 AS cosine
+        FROM nb a JOIN nb q
+          ON q.id < 20 AND a.bucket = q.bucket AND a.id <> q.id)
+      SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5"""
+
     # transcripts ------------------------------------------------------
     sql["tr_line_type_counts"] = f"""
       SELECT format, string_split(text, '|')[2] AS line_type, count(*) AS n
@@ -1028,6 +1104,167 @@ def oracle_sql() -> dict[str, str]:
              {", ".join(f"round(u_{fmt}, 6) AS usage_{fmt}"
                         for fmt, _t, _b in ladder)}
       FROM pivoted"""
+
+    # A4 moveset maps at cutoff 1630: the seven weighted key maps with
+    # the SQL twins of the stat-calc/EV round-trip (spreads + stats
+    # strings), mega species/ability rewrite, erf weights
+    stats_cols = ", ".join(f"{_stat_sql(s)}::BIGINT AS stat_{s}"
+                           for s in ["hp", "atk", "def", "spa", "spd", "spe"])
+    ev_cols = " || '/' || ".join(
+        f"({_ev_out_sql(s)})::BIGINT::VARCHAR"
+        for s in ["hp", "atk", "def", "spa", "spd", "spe"])
+    stat_str = " || '/' || ".join(
+        f"stat_{s}::VARCHAR" for s in ["hp", "atk", "def", "spa", "spd",
+                                       "spe"])
+    sql["tr_moveset"] = f"""
+      WITH {_rejects_cte()},
+      sides AS (
+        SELECT conv_id, format,
+               CASE WHEN winner = p1 THEN 1 WHEN winner = p2 THEN -1
+                    ELSE 0 END AS outcome,
+               p1_rating_rpr AS rpr, p1_rating_rprd AS rprd,
+               p1_team AS team
+        FROM {CV} WHERE format IN {acc}
+          AND conv_id NOT IN (SELECT conv_id FROM rejects)
+        UNION ALL
+        SELECT conv_id, format,
+               CASE WHEN winner = p2 THEN 1 WHEN winner = p1 THEN -1
+                    ELSE 0 END,
+               p2_rating_rpr, p2_rating_rprd, p2_team
+        FROM {CV} WHERE format IN {acc}
+          AND conv_id NOT IN (SELECT conv_id FROM rejects)),
+      mons0 AS (
+        SELECT conv_id, format,
+               {_sg.weighting_sql(
+                   _sg.effective_rpr_sql('rpr', 'rprd', 'outcome'),
+                   _sg.effective_rprd_sql('rpr', 'rprd', 'outcome'),
+                   '1630')} AS w,
+               {_mega_case_sql('u.species', 'u.item')} AS species,
+               {_mega_ability_sql('u.species', 'u.item', 'u.ability')}
+                 AS ability,
+               u.item AS item, u.nature AS nature, u.moves AS moves,
+               u.level AS level, u.happiness AS happiness,
+               coalesce(u.tera_type, 'nothing') AS tera_type,
+               u.ev_hp AS ev_hp, u.ev_atk AS ev_atk, u.ev_def AS ev_def,
+               u.ev_spa AS ev_spa, u.ev_spd AS ev_spd, u.ev_spe AS ev_spe,
+               u.iv_hp AS iv_hp, u.iv_atk AS iv_atk, u.iv_def AS iv_def,
+               u.iv_spa AS iv_spa, u.iv_spd AS iv_spd, u.iv_spe AS iv_spe
+        FROM (SELECT conv_id, format, outcome, rpr, rprd,
+                     unnest(team) AS u FROM sides)),
+      monsb AS (
+        SELECT m.*, d.b_hp, d.b_atk, d.b_def, d.b_spa, d.b_spd, d.b_spe
+        FROM mons0 m JOIN (VALUES {_species_stats_values()})
+          AS d(species_id, b_hp, b_atk, b_def, b_spa, b_spd, b_spe)
+          ON m.species = d.species_id),
+      monss AS (SELECT *, {stats_cols} FROM monsb),
+      monsf AS (
+        SELECT *,
+               upper(substr(nature, 1, 1)) || substr(nature, 2)
+                 || ':' || {ev_cols} AS spread,
+               {stat_str} AS stats_str
+        FROM monss),
+      kv AS (
+        SELECT format, species, w, 'abilities' AS section,
+               CASE WHEN ability = 'unknown' THEN 'illuminate'
+                    ELSE ability END AS key FROM monsf
+        UNION ALL
+        SELECT format, species, w, 'items', item FROM monsf
+        UNION ALL
+        SELECT format, species, w, 'tera_types', tera_type FROM monsf
+        UNION ALL
+        SELECT format, species, w, 'happinesses', happiness::VARCHAR
+        FROM monsf
+        UNION ALL
+        SELECT format, species, w, 'spreads', spread FROM monsf
+        UNION ALL
+        SELECT format, species, w, 'stats', stats_str FROM monsf
+        UNION ALL
+        SELECT format, species, w, 'moves', unnest(moves) FROM monsf)
+      SELECT format, species, section, key,
+             round(sum(w), 6) AS weight, count(*) AS raw
+      FROM kv GROUP BY 1, 2, 3, 4"""
+
+    # A10 metagame + A13 tag fan-out: the full classifier re-derived in
+    # SQL (stat calc, stalliness modifiers, tag thresholds, monotype
+    # fold) — functions/classifier_sql.py
+    from stats_spark.functions import classifier_sql as _cs
+    _body = _cs.classified_sides_body(
+        CV, _rejects_cte(), acc, _mega_case_sql, _mega_ability_sql)
+    _singles = f"(format NOT IN {non_singles})"
+    _short = (f"(format NOT IN {non_6v6} AND (turns < 2 OR "
+              f"(turns < 3 AND {_singles})))")
+    _w_at = lambda cut: _sg.weighting_sql(  # noqa: E731
+        _sg.effective_rpr_sql("rpr", "rprd", "outcome"),
+        _sg.effective_rprd_sql("rpr", "rprd", "outcome"), cut)
+    sql["tr_metagame"] = f"""
+      WITH {_body}
+      SELECT format, c.cutoff AS cutoff, tag,
+             round(sum({_w_at('c.cutoff')} * team_size), 6) AS weight
+      FROM (SELECT format, turns, outcome, rpr, rprd, team_size,
+                   unnest(tags) AS tag
+            FROM side_class WHERE NOT {_short}) s
+      CROSS JOIN (VALUES (0), (1500), (1630), (1760)) AS c(cutoff)
+      GROUP BY 1, 2, 3"""
+
+    sql["tr_usage_by_tag"] = f"""
+      WITH {_body},
+      tagged AS (
+        SELECT m.format, m.species, m.turns, m.outcome, m.rpr, m.rprd,
+               t.tag
+        FROM cmonsf m JOIN (
+          SELECT conv_id, side,
+                 unnest(flatten([['total'], tags])) AS tag
+          FROM side_class) t
+          ON m.conv_id = t.conv_id AND m.side = t.side)
+      SELECT format, tag, species, count(*) AS raw_count,
+             round(sum(CASE WHEN NOT {_short}
+                            THEN {_w_at('1500')} ELSE 0.0 END), 6)
+               AS usage_weighted
+      FROM tagged GROUP BY 1, 2, 3"""
+
+    # W6 viability: gxe = floor(100*victoryChance(rpr,rprd,1500,130)+0.5)
+    # for PRESENT ratings; exact order statistics over per-player max
+    _c = "(3.0 * ln(10.0) * ln(10.0) / ((400.0 * pi()) * (400.0 * pi())))"
+    _vc = (f"(1.0 / (1.0 + pow(10.0, (1500.0 - rpr) / 400.0 / "
+           f"sqrt(1.0 + {_c} * (rprd * rprd + 16900.0)))))")
+    sql["tr_viability"] = f"""
+      WITH {_rejects_cte()},
+      sides AS (
+        SELECT conv_id, format,
+               regexp_replace(lower(p1), '[^a-z0-9]+', '', 'g') AS player,
+               p1_rating_rpr AS rpr, p1_rating_rprd AS rprd,
+               p1_team AS team
+        FROM {CV} WHERE format IN {acc}
+          AND conv_id NOT IN (SELECT conv_id FROM rejects)
+        UNION ALL
+        SELECT conv_id, format,
+               regexp_replace(lower(p2), '[^a-z0-9]+', '', 'g'),
+               p2_rating_rpr, p2_rating_rprd, p2_team
+        FROM {CV} WHERE format IN {acc}
+          AND conv_id NOT IN (SELECT conv_id FROM rejects)),
+      mons AS (
+        SELECT format, player,
+               {_mega_case_sql('u.species', 'u.item')} AS species,
+               CASE WHEN rpr IS NOT NULL AND rprd IS NOT NULL
+                    THEN floor(100.0 * {_vc} + 0.5)::BIGINT END AS gxe
+        FROM (SELECT conv_id, format, player, rpr, rprd,
+                     unnest(team) AS u FROM sides)),
+      uniq AS (
+        SELECT format, species, player, max(gxe) AS g
+        FROM mons GROUP BY 1, 2, 3
+        HAVING max(gxe) IS NOT NULL),
+      ranked AS (
+        SELECT format, species, g,
+               row_number() OVER (PARTITION BY format, species
+                                  ORDER BY g DESC) AS rn,
+               count(*) OVER (PARTITION BY format, species) AS n
+        FROM uniq)
+      SELECT format, species, n, max(g) AS gxe_max,
+             coalesce(max(CASE WHEN rn = ceil(0.01 * n) THEN g END),
+                      max(g)) AS gxe_p1,
+             coalesce(max(CASE WHEN rn = ceil(0.2 * n) THEN g END),
+                      max(g)) AS gxe_p20
+      FROM ranked GROUP BY 1, 2, 3"""
 
     sql["tr_teammate_pairs"] = f"""
       WITH {_rejects_cte()},
