@@ -359,8 +359,9 @@ def doc_lang_counts(spark, sf_dir):
 def doc_fingerprints(spark, sf_dir):
     from stats_spark.functions import text as T
     docs = _tpch(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       T.doc_fingerprint("text", 5).alias("fingerprint"))
+    return (docs.select("doc_id", T.word_tokens("text").alias("toks"))
+            .select("doc_id",
+                    T.doc_fingerprint_from("toks", 5).alias("fingerprint")))
 
 
 def doc_dedup_exact(spark, sf_dir):

@@ -88,13 +88,24 @@ def lang_guess(col) -> Column:
     return best["l"]
 
 
-def shingles(col, w: int = 3) -> Column:
-    """Distinct w-word shingles as strings joined by ' '."""
-    toks = word_tokens(col)
+def shingles_from(toks, w: int = 3) -> Column:
+    """Distinct w-word shingles from an ALREADY-MATERIALIZED token
+    array column.  ``toks`` must be a plain column reference: an
+    expression embedded here would re-evaluate once per shingle
+    position inside the transform lambda (measured quadratic — a
+    regex-split-per-position cost 6s for 5k docs)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w))))
+
+
+def shingles(col, w: int = 3) -> Column:
+    """Distinct w-word shingles as strings joined by ' '.  Prefer
+    projecting ``word_tokens`` into a column and using
+    ``shingles_from`` in hot paths (see its docstring)."""
+    return shingles_from(word_tokens(col), w)
 
 
 def md5_long(col) -> Column:
@@ -104,8 +115,15 @@ def md5_long(col) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def doc_fingerprint_from(toks, w: int = 5) -> Column:
+    """Fingerprint over a materialized token column (the fast path)."""
+    sh = shingles_from(toks, w)
+    return F.array_min(F.transform(sh, lambda s: md5_long(s)))
+
+
 def doc_fingerprint(col, w: int = 5) -> Column:
     """Deterministic document fingerprint: minimum 60-bit md5 hash over
-    w-word shingles (single-permutation minhash)."""
+    w-word shingles (single-permutation minhash).  Hot paths should
+    project word_tokens first and use doc_fingerprint_from."""
     sh = shingles(col, w)
     return F.array_min(F.transform(sh, lambda s: md5_long(s)))
