@@ -60,7 +60,8 @@ def stream_usage_raw(stream: DataFrame, window: str = "30 minutes",
 
 def stream_battles(spark: SparkSession, corpus_paths: dict,
                    dims_payload: dict | None = None,
-                   max_files: int = 4) -> DataFrame:
+                   max_files: int = 4,
+                   timeout_ms: int | None = None) -> DataFrame:
     """Stateful FSM-on-stream: the streaming twin of parse_battles.
 
     ``applyInPandasWithState`` keyed by conv_id buffers a conversation's
@@ -107,7 +108,7 @@ def stream_battles(spark: SparkSession, corpus_paths: dict,
         meta_json, idxs, lines = (state.get if state.exists
                                   else (None, [], []))
         idxs, lines = list(idxs), list(lines)
-        done = False
+        done = state.hasTimedOut  # stalled conversation: flush as-is
         for pdf in pdfs:
             for _, r in pdf.iterrows():
                 meta_json = meta_json or r["meta_json"]
@@ -117,6 +118,12 @@ def stream_battles(spark: SparkSession, corpus_paths: dict,
                     done = True
         if not done:
             state.update((meta_json, idxs, lines))
+            if timeout_ms:
+                # a conversation whose terminal |win|/|tie| never
+                # arrives (producer crash, truncated log) flushes after
+                # the timeout instead of leaking state forever; the FSM
+                # then scores it as a tie or rejects it
+                state.setTimeoutDuration(timeout_ms)
             return
         state.remove()
         meta = json.loads(meta_json) if meta_json else dict(conv_id=key[0])
@@ -137,7 +144,8 @@ def stream_battles(spark: SparkSession, corpus_paths: dict,
 
     out = joined.groupBy("conv_id").applyInPandasWithState(
         fn, raw_schema, state_schema, "append",
-        GroupStateTimeout.NoTimeout)
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
+        else GroupStateTimeout.NoTimeout)
     team_t = f"array<struct<{TEAM_FIELDS}>>"
     return (out
             .withColumn("p1_team", F.from_json("p1_team", team_t))
@@ -145,6 +153,34 @@ def stream_battles(spark: SparkSession, corpus_paths: dict,
             .withColumn("matchups",
                         F.from_json("matchups",
                                     "array<struct<a:string,b:string,outcome:int>>")))
+
+
+def stream_usage(battles_stream: DataFrame,
+                 cutoffs: list[int] | None = None) -> DataFrame:
+    """Streamed usage counters: the batch enrichment column math
+    applied directly to the battle stream (explode sides → teams →
+    cutoffs → erf weight → running per-species counters).  With
+    Trigger.AvailableNow + complete mode this reproduces the batch
+    usage frame exactly; unbounded deployments swap in a watermarked
+    window on ts."""
+    from stats_spark.datagen import dims
+    from stats_spark.operators import aggregate as agg
+    from stats_spark.operators import enrich
+
+    ok = battles_stream.filter(
+        F.col("error").isNull()
+        & F.col("format").isin([f for f, *_ in dims.FORMATS
+                                if dims.accept_format(f)]))
+    sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
+    mons = (sides.select("conv_id", "format", "side", "short", "outcome",
+                         "rating_valid", "eff_rpr", "eff_rprd",
+                         F.explode("team").alias("m"))
+            .select("*", F.col("m.species").alias("species"),
+                    F.col("m.turns_out").alias("turns_out"))
+            .drop("m"))
+    mons_w = enrich.with_weight(
+        enrich.explode_cutoffs(mons, cutoffs or dims.DEFAULT_CUTOFFS))
+    return agg.usage_by_species(mons_w)
 
 
 def run_available_now(df: DataFrame, query_name: str,

@@ -25,6 +25,37 @@ def _key(df):
     return rows
 
 
+def test_stream_usage_matches_batch(spark, t1):
+    """Full streamed pipeline: FSM-on-stream → enrichment → usage
+    aggregation must equal the batch usage frame exactly."""
+    import pytest
+    from stats_spark.plans import pipeline
+
+    battles = parse_battles(tables.load_transcripts(spark, t1),
+                            tables.load_conversations(spark, t1))
+    want = {(r.format, r.cutoff, r.species):
+            (r.usage_raw, r.usage_real, r.usage_weighted)
+            for r in pipeline.build_frames(spark, battles)["usage"]
+            .collect()}
+
+    stream = SP.stream_battles(spark, t1, max_files=3,
+                               timeout_ms=3_600_000)
+    usage = SP.stream_usage(stream)
+    q = (usage.writeStream.outputMode("complete")
+         .format("memory").queryName("usage_live")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.format, r.cutoff, r.species):
+           (r.usage_raw, r.usage_real, r.usage_weighted)
+           for r in spark.sql("SELECT * FROM usage_live").collect()}
+    q.stop()
+    assert set(got) == set(want)
+    for k, (raw, real, w) in want.items():
+        graw, greal, gw = got[k]
+        assert graw == raw and greal == real, k
+        assert gw == pytest.approx(w, rel=1e-9), k
+
+
 def test_stream_matches_batch(spark, t1):
     batch = parse_battles(tables.load_transcripts(spark, t1),
                           tables.load_conversations(spark, t1))
