@@ -308,7 +308,10 @@ def q_part_type_share(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
-    ev = _tpch(spark, sf_dir, "events")
+    # NTZ read: hour bucketing is wall-clock like DuckDB's, whatever
+    # time zone the harness session runs in (see q_events_sessions)
+    ev = (spark.read.option("inferTimestampNTZ", "true")
+          .parquet(os.path.join(sf_dir, "events.parquet")))
     return (ev.groupBy("event_type",
                        F.date_format(F.date_trunc("hour", "ts"),
                                      "yyyy-MM-dd HH:mm:ss").alias("hour"))
@@ -319,18 +322,21 @@ def q_events_hourly(spark, sf_dir):
 
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
-    # events.parquet stores naive timestamp[us]; unix_micros(ts) depends
-    # on the session time zone (incl. DST nonlinearity).  Pin UTC here so
-    # the session-gap arithmetic matches DuckDB's naive epoch_us()
-    # regardless of how the harness constructed the SparkSession.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _tpch(spark, sf_dir, "events")
+    # events.parquet stores naive timestamp[us].  Read it as
+    # TIMESTAMP_NTZ so the session-gap arithmetic is wall-clock — the
+    # exact naive micros DuckDB's epoch_us() sees — independent of the
+    # harness session's time zone (incl. DST nonlinearity), WITHOUT
+    # mutating any session conf (a global timeZone set here would leak
+    # into every later query and make results order-dependent).
+    ev = (spark.read.option("inferTimestampNTZ", "true")
+          .parquet(os.path.join(sf_dir, "events.parquet")))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = us - F.lag(us).over(w)
-    return (ev.withColumn("new_session",
-                          F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
-                           .otherwise(0))
+    gap = F.col("ts") - F.lag("ts").over(w)
+    return (ev.withColumn(
+                "new_session",
+                F.when(F.lag("ts").over(w).isNull()
+                       | (gap > F.expr("INTERVAL '1800' SECOND")), 1)
+                 .otherwise(0))
             .groupBy("user_id")
             .agg(F.count("*").alias("n_events"),
                  F.sum("new_session").alias("n_sessions")))
@@ -580,7 +586,8 @@ def tr_tier_update(spark, sf_dir):
     from stats_spark.plans import tiers
     b = _battles(spark)
     monthly = tiers.monthly_usage(b, cutoff=1630, n_months=3)
-    return tiers.tier_update(tiers.combined_usage(monthly), spark)
+    return tiers.tier_update(tiers.combined_usage(monthly, n_months=3),
+                             spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1033,24 +1040,33 @@ def oracle_sql() -> dict[str, str]:
     rise = repr(_tiers.RISE)
     cascade = "CASE WHEN current_tier = 'Ubers' THEN 'Ubers' "
     tiers_seq = [t for _f, t, _b in ladder] + [_tiers.FLOOR]
-    for i, (fmt, tier, ban) in enumerate(ladder):
+    for i, (fmt, tier, _ban) in enumerate(ladder):
         lower = tiers_seq[i + 1]
+        # ban tier of the DROP target, checked after this rung's
+        # rise/drop and before the next rung's rise check — the exact
+        # riseAndDrop(r, d, b) order (reports.ts:602-606, mirrored in
+        # plans/tiers.py:tier_update)
+        ban_below = (ladder[i + 1][2] if i + 1 < len(ladder)
+                     else _tiers.FLOOR_BAN)
         cascade += f"WHEN u_{fmt} > {rise} THEN '{tier}' "
         cascade += (f"WHEN current_tier = '{tier}' THEN "
                     f"(CASE WHEN u_{fmt} < {rise} THEN '{lower}' "
                     f"ELSE '{tier}' END) ")
-        if ban:
-            cascade += f"WHEN current_tier = '{ban}' THEN '{ban}' "
+        if ban_below:
+            cascade += (f"WHEN current_tier = '{ban_below}' "
+                        f"THEN '{ban_below}' ")
     cascade += f"ELSE '{_tiers.FLOOR}' END"
-    # BL-list override — reports.ts:611-614
-    bl = _tiers.bl_sets()
+    # BL-list override — fires only on TRUE floor fallthrough (current
+    # tier already the floor, no rise), never on a drop-to-floor
+    # (reports.ts:609-614; see plans/tiers.py:tier_update)
+    bl_floor = sorted(_tiers.bl_sets().get(_tiers.FLOOR_BAN, ()))
     final = f"({cascade})"
-    for _f, tier, ban in ladder:
-        if ban and bl.get(ban):
-            members = ", ".join(f"'{s}'" for s in sorted(bl[ban]))
-            final = (f"(CASE WHEN ({cascade}) = '{tier}' "
-                     f"AND species IN ({members}) THEN '{ban}' "
-                     f"ELSE {final} END)")
+    if bl_floor:
+        members = ", ".join(f"'{s}'" for s in bl_floor)
+        final = (f"(CASE WHEN current_tier = '{_tiers.FLOOR}' "
+                 f"AND ({cascade}) = '{_tiers.FLOOR}' "
+                 f"AND species IN ({members}) THEN '{_tiers.FLOOR_BAN}' "
+                 f"ELSE {final} END)")
     sql["tr_tier_update"] = f"""
       WITH {_rejects_cte()},
       sides AS (
@@ -1083,6 +1099,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT month, format, greatest(1.0, sum(sw)) AS total
         FROM per GROUP BY 1, 2),
       monthly AS (
+        -- the corpus has no suffixed formats, so one report per
+        -- (month, rung): the n-weighted suffix merge in
+        -- plans/tiers.py:monthly_usage reduces to this plain fraction
         SELECT per.month, per.format, species,
                sw / total * 6 AS usage_frac
         FROM per JOIN tot ON per.month = tot.month AND per.format = tot.format),

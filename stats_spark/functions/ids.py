@@ -14,15 +14,29 @@ from pyspark.sql import Column, functions as F
 
 _ID_RE = re.compile(r"[^a-z0-9]+")
 
+# raw string → id memo: the parse hot loop calls to_id_py ~100× per
+# battle over a small vocabulary (species/items/natures/moves/names),
+# so a dict hit replaces the isalnum/regex work almost always.  Bounded
+# to keep a pathological unbounded-vocabulary stream from leaking.
+_ID_CACHE: dict[str, str] = {}
+_ID_CACHE_MAX = 200_000
+
 
 def to_id_py(s: str | None) -> str:
     if not s:
         return ""
-    # fast path: already-canonical ids (the overwhelmingly common case
-    # in the parse hot loop) skip the regex
+    v = _ID_CACHE.get(s)
+    if v is not None:
+        return v
+    # already-canonical ids (the overwhelmingly common case in the
+    # parse hot loop) skip the regex
     if s.isalnum() and s.islower() and s.isascii():
-        return s
-    return _ID_RE.sub("", s.lower())
+        v = s
+    else:
+        v = _ID_RE.sub("", s.lower())
+    if len(_ID_CACHE) < _ID_CACHE_MAX:
+        _ID_CACHE[s] = v
+    return v
 
 
 def to_id(col: Column | str) -> Column:

@@ -102,6 +102,7 @@ def from_alias(name_id: str, D: dict) -> str:
 
 EV_KEYS = ["ev_hp", "ev_atk", "ev_def", "ev_spa", "ev_spd", "ev_spe"]
 IV_KEYS = ["iv_hp", "iv_atk", "iv_def", "iv_spa", "iv_spd", "iv_spe"]
+_IV_PAIRS = [(k, k[3:]) for k in IV_KEYS]
 
 
 # Hidden Power type derivation from IVs — the standard published
@@ -133,7 +134,8 @@ def canonicalize_team(team: Iterable[dict], D: dict) -> list[dict]:
         species = from_alias(to_id_py(p.get("species") or p.get("name")), D)
         if species not in D["species"]:
             raise ParseError(f"Unknown species '{p.get('species')}'")
-        ivs = {k[3:]: (31 if p.get(k) is None else int(p[k])) for k in IV_KEYS}
+        ivs = {short: (31 if p.get(k) is None else int(p[k]))
+               for k, short in _IV_PAIRS}
         # special forme rules — parser.ts:318-330
         if species == "greninja" and ability == "battlebond":
             species = "greninjaash"

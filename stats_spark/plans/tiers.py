@@ -9,11 +9,17 @@ the tier ladder:
   - rise into rung T if usage(T) > RISE (reports.ts:632-634)
   - a species currently in T drops one rung if usage(T) < DROP
     (reports.ts:636-643)
-  - a species currently in T's banlist tier (TBL) stays there
-    (reports.ts:644-647)
+  - a species currently in the ban tier BETWEEN rung T and the rung
+    below stays there, checked in rung T's riseAndDrop call — i.e.
+    BEFORE the next rung's rise check (reports.ts:602-606, 644-647:
+    `riseAndDrop('OU','UU','UUBL')` tests tier===UUBL before
+    `riseAndDrop('UU',...)` ever runs)
   - fallthrough lands on the floor tier (reports.ts:609)
-  - the BL-list override bumps an updated tier T to TBL when the
-    species is on Reports.BL[T] (reports.ts:611-614)
+  - the BL-list override fires ONLY on floor fallthrough — every
+    riseAndDrop hit `continue`s past it, so `Reports.BL[newTier]` is
+    always looked up with newTier = the floor, bumping floor species
+    on the floor's BL list into the floor's ban tier
+    (reports.ts:609-614)
 
 The 'moved from A to B' report suppresses a mega forme whose base
 species already sits in a higher tier (reports.ts:493-504).
@@ -38,20 +44,25 @@ from stats_spark.functions.weights import weighting_expr
 RISE = 0.04515839608           # reports.ts:473
 DROP = RISE                    # reports.ts:474
 
-# synthetic 4-rung ladder: usage-tier format ↔ tier name, ban tier per
-# rung (the TIERS ladder interleaves XBL tiers — reports.ts:54-56)
+# synthetic 4-rung ladder: usage-tier format ↔ tier name, ban tier
+# SITTING ABOVE that rung (TIERS interleaves XBL above its rung:
+# 'Uber','OU','UUBL','UU','RUBL','RU',… — reports.ts:54-56)
 LADDER = [("gen9ou", "OU", None),
           ("gen9uu", "UU", "UUBL"),
           ("gen9monotype", "RU", "RUBL"),
           ("gen7ou", "NU", "NUBL")]
 FLOOR = "PU"                   # species falling through the ladder
+FLOOR_BAN = "PUBL"             # the floor's ban tier (≙ ZUBL above ZU)
 TIER_FORMATS = [f for f, _, _ in LADDER]
-# full ordered tier list for the mega-vs-base comparison
+# full ordered tier list (highest first) for the mega-vs-base
+# comparison — each XBL ranks ABOVE its rung, exactly as the
+# reference's TIERS index order (reports.ts:54-56)
 TIER_ORDER = ["Ubers"]
 for _f, _t, _b in LADDER:
-    TIER_ORDER.append(_t)
     if _b:
         TIER_ORDER.append(_b)
+    TIER_ORDER.append(_t)
+TIER_ORDER.append(FLOOR_BAN)
 TIER_ORDER.append(FLOOR)
 
 SUFFIXES = ("suspecttest", "alpha", "beta")   # reports.ts:64
@@ -60,9 +71,13 @@ SUFFIXES = ("suspecttest", "alpha", "beta")   # reports.ts:64
 @lru_cache(maxsize=1)
 def bl_sets() -> dict[str, frozenset]:
     """Synthetic Reports.BL — deterministic species subsets per ban
-    tier (md5 bucket), oracle-recomputable."""
+    tier (md5 bucket), oracle-recomputable.  Only the FLOOR_BAN set is
+    consulted by the ladder walk (the reference's override key is
+    always the floor — reports.ts:609-614); the rung sets exist to
+    mirror Reports.BL's shape."""
     import hashlib
     out: dict[str, set] = {b: set() for _f, _t, b in LADDER if b}
+    out[FLOOR_BAN] = set()
     bans = sorted(out)
     for sid in dims.species_table().species_id:
         h = int(hashlib.md5(sid.encode()).hexdigest()[:15], 16)
@@ -72,17 +87,26 @@ def bl_sets() -> dict[str, frozenset]:
 
 
 def current_tiers() -> dict[str, str]:
-    """Species → current tier with the deterministic BL overlay: a
-    species whose dim tier has a ban rung and md5 % 5 == 0 sits in the
-    ban tier (exercises the reference's XBL stickiness rule)."""
+    """Species → current tier with deterministic overlays: a species
+    whose dim tier has a ban rung and md5 % 5 == 0 sits in the ban
+    tier (exercises XBL stickiness); a non-Ubers member of the floor
+    BL set, and any NU species with md5 % 5 == 1, sits on the floor —
+    no dim tier is PU, so the floor (and with it the fallthrough +
+    floor-BL-override paths) would otherwise be unpopulated in the
+    driver corpus."""
     import hashlib
     bans = {t: b for _f, t, b in LADDER if b}
+    floor_bl = bl_sets().get(FLOOR_BAN, frozenset())
     out = {}
     for r in dims.species_table().itertuples():
         tier = r.tier
         h = int(hashlib.md5(r.species_id.encode()).hexdigest()[:15], 16)
-        if tier in bans and h % 5 == 0:
+        if r.species_id in floor_bl and tier != "Ubers":
+            tier = FLOOR
+        elif tier in bans and h % 5 == 0:
             tier = bans[tier]
+        elif tier == "NU" and h % 5 == 1:
+            tier = FLOOR
         out[r.species_id] = tier
     return out
 
@@ -99,55 +123,77 @@ def monthly_usage(battles: DataFrame, cutoff: int = 1630,
                   n_months: int = 3) -> DataFrame:
     """Per (month, rung-format, species) usage fraction (weighted/total
     ×6, the reference's team-scaled share) with months = md5 buckets of
-    conv_id.  Suffixed formats merge into their base rung weighted by
-    their battle share (the n/ntot factor in reports.ts:443-455 —
-    weighting by each suffix report's battles is exactly summing the
-    weighted usage across suffixes before normalizing)."""
+    conv_id.
+
+    Suffixed formats merge into their base rung exactly as
+    reports.ts:443-455 does: each suffix report's usage FRACTION is
+    computed against its own total first, then the fractions average
+    weighted by each report's battle count (the n/ntot factor) —
+    usage = Σ_s (n_s/ntot)·(w_s/total_s·6).  This differs from pooling
+    raw weights (Σw_s/Σtotal_s) whenever average weight per battle
+    varies across suffix reports; they coincide only for a single
+    suffix (the synthetic corpus case, which keeps the DuckDB oracle's
+    pooled formulation exact — tests/test_tiers.py::test_suffix_merge_
+    n_weighted exercises the multi-suffix divergence directly)."""
     from stats_spark.operators import enrich
 
-    base_fmt = strip_suffix("format")
     ok = (battles.filter(F.col("error").isNull())
-          .withColumn("format", base_fmt)
-          .filter(F.col("format").isin(TIER_FORMATS)))
+          .filter(strip_suffix("format").isin(TIER_FORMATS)))
     sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
     mons = (sides
             .withColumn("month", F.pmod(md5_long("conv_id"), F.lit(n_months)))
-            .select("conv_id", "month", "format", "short",
+            .filter(~F.col("short"))
+            .select("conv_id", "month", "format",
                     "eff_rpr", "eff_rprd", F.explode("team").alias("m"))
             .withColumn("species", F.col("m.species"))
             .withColumn("cutoff", F.lit(float(cutoff)))
             .withColumn("weight",
                         weighting_expr("eff_rpr", "eff_rprd", "cutoff")))
-    per = (mons.filter(~F.col("short"))
-           .groupBy("month", "format", "species")
-           .agg(F.sum("weight").alias("w"),
-                F.count("*").alias("raw")))
-    tot = per.groupBy("month", "format").agg(
-        F.greatest(F.lit(1.0), F.sum("w")).alias("total"),
-        F.sum("raw").alias("n_battles_x"))
-    return (per.join(tot, ["month", "format"])
-            .select("month", "format", "species",
-                    (F.col("w") / F.col("total") * 6).alias("usage_frac")))
+    # per (month, SUFFIXED format) report: species weights, weight
+    # total, and battle count n — all in one shuffle keyed by the
+    # suffixed format, then suffixes collapse into the base rung
+    per = (mons.groupBy("month", "format", "species")
+           .agg(F.sum("weight").alias("w")))
+    tot = (mons.groupBy("month", "format")
+           .agg(F.greatest(F.lit(1.0), F.sum("weight")).alias("total"),
+                (F.countDistinct("conv_id")).alias("n")))
+    frac = (per.join(tot, ["month", "format"])
+            .withColumn("frac", F.col("w") / F.col("total") * 6)
+            .withColumn("base_format", strip_suffix("format")))
+    ntot = (frac.select("month", "base_format", "format", "n").distinct()
+            .groupBy("month", "base_format")
+            .agg(F.sum("n").alias("ntot")))
+    return (frac.join(ntot, ["month", "base_format"])
+            .groupBy("month", F.col("base_format").alias("format"),
+                     "species")
+            .agg(F.sum(F.col("frac") * F.col("n") / F.col("ntot"))
+                 .alias("usage_frac")))
 
 
-def combined_usage(monthly: DataFrame) -> DataFrame:
-    """Average usage across months (reports.ts:443-455: with one report
-    per (month, tier) the month factor reduces to a plain mean over the
-    month count)."""
-    n_months = monthly.select("month").distinct().count()
+def combined_usage(monthly: DataFrame,
+                   n_months: int | None = None) -> DataFrame:
+    """Average usage across months, dividing by the REQUESTED month
+    count (reports.ts:452 divides by months.length — a month with no
+    report contributes zero rather than shrinking the divisor)."""
+    if n_months is None:
+        n_months = monthly.select("month").distinct().count()
     return (monthly.groupBy("format", "species")
             .agg((F.sum("usage_frac") / n_months).alias("usage")))
 
 
-def tier_update(usage: DataFrame, spark) -> DataFrame:
+def tier_update(usage: DataFrame, spark,
+                current: dict[str, str] | None = None,
+                floor_bl=None) -> DataFrame:
     """The full rise/drop ladder — computeRiseAndDrop
     (reports.ts:619-649) as a when-cascade over the pivoted per-rung
-    usage columns, including XBL stickiness and the BL-list override."""
+    usage columns, including XBL stickiness and the floor-only BL
+    override.  ``current``/``floor_bl`` default to the synthetic
+    config tables; tests inject hand-built ones to pin each branch."""
     pivoted = (usage.groupBy("species")
                .pivot("format", TIER_FORMATS).agg(F.first("usage"))
                .na.fill(0.0, TIER_FORMATS))
     cur_rows = [dict(species=s, current_tier=t)
-                for s, t in sorted(current_tiers().items())]
+                for s, t in sorted((current or current_tiers()).items())]
     cur = F.broadcast(spark.createDataFrame(
         cur_rows, "species string, current_tier string"))
     j = pivoted.join(cur, "species", "right").na.fill(0.0, TIER_FORMATS)
@@ -160,25 +206,38 @@ def tier_update(usage: DataFrame, spark) -> DataFrame:
     u = {fmt: F.col(fmt) for fmt in TIER_FORMATS}
     tiers_seq = [t for _f, t, _b in LADDER] + [FLOOR]
     updated = F.when(F.col("current_tier") == "Ubers", F.lit("Ubers"))
-    for i, (fmt, tier, ban) in enumerate(LADDER):
+    for i, (fmt, tier, _ban) in enumerate(LADDER):
         lower = tiers_seq[i + 1]
+        # the ban tier between this rung and the one below = the ban
+        # of the DROP target (riseAndDrop(r, d, b) passes d's ban —
+        # reports.ts:602-606), checked AFTER this rung's rise/drop and
+        # BEFORE the next rung's rise check, so a banned species never
+        # rises into the rung it's banned from
+        ban_below = (LADDER[i + 1][2] if i + 1 < len(LADDER)
+                     else FLOOR_BAN)
         updated = updated.when(u[fmt] > RISE, F.lit(tier))
         updated = updated.when(
             F.col("current_tier") == tier,
             F.when(u[fmt] < DROP, F.lit(lower)).otherwise(F.lit(tier)))
-        if ban:
+        if ban_below:
             # XBL stickiness — reports.ts:644-647
-            updated = updated.when(F.col("current_tier") == ban, F.lit(ban))
+            updated = updated.when(F.col("current_tier") == ban_below,
+                                   F.lit(ban_below))
     updated = updated.otherwise(F.lit(FLOOR))
 
-    # BL-list override — reports.ts:611-614
-    bl = bl_sets()
+    # BL-list override — reports.ts:609-614: every riseAndDrop hit
+    # `continue`s past it, so it fires only on TRUE fallthrough (a
+    # species already on the floor that didn't rise), with the floor
+    # as lookup key.  A drop from the last rung also lands on FLOOR
+    # but via a riseAndDrop hit, so it must NOT be overridden — hence
+    # the current_tier == FLOOR guard.
+    bl = sorted(bl_sets().get(FLOOR_BAN, ())
+                if floor_bl is None else floor_bl)
     final = updated
-    for _f, tier, ban in LADDER:
-        if ban and bl.get(ban):
-            final = F.when((updated == tier)
-                           & F.col("species").isin(sorted(bl[ban])),
-                           F.lit(ban)).otherwise(final)
+    if bl:
+        final = F.when((F.col("current_tier") == FLOOR)
+                       & (updated == FLOOR) & F.col("species").isin(bl),
+                       F.lit(FLOOR_BAN)).otherwise(updated)
 
     return (j.withColumn("updated_tier", final)
             .withColumn("changed",
@@ -197,14 +256,17 @@ def tier_update_lines(result: DataFrame, spark=None) -> list[str]:
                  for r in sp.itertuples() if r.is_mega}
     rows = result.orderBy("species").collect()
     updated = {r.species: r.updated_tier for r in rows}
+    # TIERS.indexOf semantics (reports.ts:499-502): smaller index =
+    # higher tier; an absent base gives indexOf(undefined) = -1, which
+    # compares below every real tier and SUPPRESSES the mega's line
     rank = {t: i for i, t in enumerate(TIER_ORDER)}
     out = []
     for r in rows:
         if not r.changed:
             continue
         base = mega_base.get(r.species)
-        if base is not None and base in updated:
-            if rank.get(updated[base], 99) < rank.get(r.updated_tier, 99):
+        if base is not None:
+            if rank.get(updated.get(base), -1) < rank.get(r.updated_tier, -1):
                 continue
         out.append(f"{r.species} moved from {r.current_tier} "
                    f"to {r.updated_tier}")

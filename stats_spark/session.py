@@ -13,6 +13,39 @@ import os
 from pyspark.sql import SparkSession
 
 
+# SQL-layer settings shared by every launch path (local factory below
+# and spark-submit via get_submit_spark) — cluster topology (master,
+# memory, executor count) deliberately excluded: spark-submit owns it
+SQL_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_submit_spark(app_name: str = "stats_spark_job",
+                     extra_conf: dict | None = None) -> SparkSession:
+    """Session for ``spark-submit --py-files`` launches: master, deploy
+    mode, memory and executor topology come from the submit command
+    line / cluster manager; only the SQL-layer defaults are applied
+    here (and never override an explicit ``--conf``)."""
+    builder = SparkSession.builder.appName(app_name)
+    spark = builder.getOrCreate()
+    submitted = spark.sparkContext.getConf()  # --conf entries live here
+    for k, v in {**SQL_CONF, **(extra_conf or {})}.items():
+        if not submitted.contains(k):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf already fixed by the submit command
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def get_spark(
     app_name: str = "stats_spark",
     cores: int | None = None,

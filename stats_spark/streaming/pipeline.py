@@ -114,15 +114,31 @@ def stream_battles(spark: SparkSession, corpus_paths: dict,
                 meta_json = meta_json or r["meta_json"]
                 idxs.append(int(r["turn_idx"]))
                 lines.append(r["text"])
-                if r["text"].startswith("|win|") or r["text"] == "|tie":
-                    done = True
+        # Flush only when the buffer is COMPLETE: the terminal
+        # |win|/|tie| line is present AND every turn_idx below it has
+        # arrived.  Merely sighting the terminal line is not enough —
+        # with cross-file/micro-batch disorder stragglers can arrive
+        # AFTER the terminal line's batch, and flushing early would
+        # parse a prefix and later re-create state that emits a
+        # second, bogus row for the same conv_id.
+        if not done and lines:
+            term = max((i for i, t in zip(idxs, lines)
+                        if t.startswith("|win|") or t == "|tie"),
+                       default=None)
+            done = (term is not None and max(idxs) == term
+                    and len(set(idxs)) == term + 1)
         if not done:
             state.update((meta_json, idxs, lines))
             if timeout_ms:
                 # a conversation whose terminal |win|/|tie| never
                 # arrives (producer crash, truncated log) flushes after
                 # the timeout instead of leaking state forever; the FSM
-                # then scores it as a tie or rejects it
+                # then scores it as a tie or rejects it.  NOTE: a
+                # ProcessingTimeTimeout plan keeps even an availableNow
+                # run alive with no-data micro-batches (they are how
+                # timeouts fire), so bounded runs must either pass
+                # timeout_ms=None or stop the query explicitly once
+                # the expected output has drained.
                 state.setTimeoutDuration(timeout_ms)
             return
         state.remove()
