@@ -429,6 +429,15 @@ def emb_ann_lsh(spark, sf_dir):
     return similarity.ann_topk(emb, queries, k=5, n_planes=8)
 
 
+def emb_ann_banded(spark, sf_dir):
+    """Multi-band ANN (the recall-scalable v2 of emb_ann_lsh)."""
+    from stats_spark.operators import similarity
+    emb = _tpch(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_topk_banded(emb, queries, k=5, n_bands=8,
+                                      planes_per_band=2)
+
+
 # ---- multimodal plumbing (stubbed decode) -----------------------------
 
 def mm_features(spark, sf_dir):
@@ -611,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_dup_pairs": emb_dup_pairs,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_ann_banded": emb_ann_banded,
         "mm_features": mm_features,
         # transcript pipeline (parse → enrich → route → aggregate)
         "tr_line_type_counts": tr_line_type_counts,
@@ -884,6 +894,35 @@ def oracle_sql() -> dict[str, str]:
       FROM cand JOIN nn x ON x.id = id_a JOIN nn y ON y.id = id_b
       WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6)
             >= 0.45"""
+
+    # multi-band ANN: same seed-deterministic band keys, query side is
+    # vec_id < 20, candidates = any shared band bucket (deduped), then
+    # the per-query top-k over rounded cosine
+    sql["emb_ann_banded"] = f"""
+      WITH n AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> x::DOUBLE) AS vec
+        FROM embeddings),
+      nn AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM n),
+      buckets AS (
+        SELECT id, b.band AS band, b.key AS key
+        FROM (SELECT id, unnest([{", ".join(band_keys)}]) AS b FROM nn)),
+      cand AS (
+        SELECT DISTINCT q.id AS q_id, a.id AS nid
+        FROM buckets q JOIN buckets a
+          ON q.id < 20 AND a.band = q.band AND a.key = q.key
+         AND a.id <> q.id),
+      scored AS (
+        SELECT q_id, nid AS neighbor_id,
+               round(list_dot_product(y.vec, x.vec) / (y.nrm * x.nrm), 6)
+                 AS cosine
+        FROM cand JOIN nn x ON x.id = cand.q_id
+                  JOIN nn y ON y.id = cand.nid)
+      SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5"""
 
     # LSH-bucketed ANN: the single-bucket hyperplane signature is
     # seed-deterministic (similarity._planes), so DuckDB reproduces the

@@ -106,6 +106,41 @@ def lsh_band_buckets(emb: DataFrame, n_bands: int = 8, planes_per_band: int = 2,
                     F.col("b.band").alias("band"), F.col("b.key").alias("key")))
 
 
+def ann_topk_banded(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    n_bands: int = 8, planes_per_band: int = 2,
+                    dim: int = 64, vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 7) -> DataFrame:
+    """Multi-band (multi-probe) ANN: a corpus vector is a candidate if
+    it shares ANY band bucket with the query.  Recall grows with
+    n_bands while each band's join stays selective — the fix for the
+    single-signature ann_topk, whose recall collapses as n_planes
+    grows (P[all n bits equal] ≈ (1-θ/π)^n).  Plan shape: per-band
+    equi-join against the broadcast query buckets, cosine scored
+    JVM-side, duplicates across bands collapsed by a (q_id, id)
+    group-by, then the per-query top-k window."""
+    from pyspark.sql import Window
+
+    cb = lsh_band_buckets(emb, n_bands, planes_per_band, dim,
+                          vec_col, id_col, seed)
+    qb = (lsh_band_buckets(queries, n_bands, planes_per_band, dim,
+                           vec_col, id_col, seed)
+          .select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+                  F.col("norm").alias("q_norm"), "band", "key"))
+    scored = (cb.join(F.broadcast(qb), ["band", "key"])
+              .filter(F.col("id") != F.col("q_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("vec"), F.col("q_vec"))
+                                  / (F.col("norm") * F.col("q_norm")), 6))
+              # the same (query, candidate) pair can match in several
+              # bands — collapse before ranking (cosine is identical)
+              .groupBy("q_id", "id").agg(F.first("cosine").alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col("id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
 def ann_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, dim: int = 64,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -91,6 +91,34 @@ def test_ann_subset_of_exact(spark):
             assert r.cosine == ex[(r.q_id, r.neighbor_id)]
 
 
+def test_ann_banded_beats_single_bucket(spark):
+    """Multi-band ANN dominates the single-signature bucket: every
+    hit scores identically to brute force, and recall@k is at least
+    the single-bucket path's — a pair needs only ONE matching band
+    (2 bits here) instead of all 8 signature bits, so bands admit
+    candidates the full signature splits apart."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 8")
+    exact = similarity.cosine_topk(emb, q, k=5)
+    single = similarity.ann_topk(emb, q, k=5, n_planes=8)
+    banded = similarity.ann_topk_banded(emb, q, k=5, n_bands=8,
+                                        planes_per_band=2)
+    ex = {(r.q_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    got_b = {(r.q_id, r.neighbor_id): r.cosine for r in banded.collect()}
+    got_s = {(r.q_id, r.neighbor_id) for r in single.collect()}
+    for pair, c in got_b.items():
+        if pair in ex:
+            assert c == ex[pair]
+    recall_b = len(set(got_b) & set(ex)) / len(ex)
+    recall_s = len(got_s & set(ex)) / len(ex)
+    assert recall_b >= recall_s
+    assert recall_b >= 0.5
+
+
 def test_embedding_dup_lsh_recall(spark):
     """The LSH-gated near-dup path must (a) plan an equi-join, never a
     cartesian, (b) return a subset of the brute-force pairs with
