@@ -438,6 +438,16 @@ def emb_ann_banded(spark, sf_dir):
                                       planes_per_band=2)
 
 
+def emb_ann_ivf(spark, sf_dir):
+    """IVF ANN: hash-sampled coarse quantizer, disjoint inverted
+    lists, nprobe-cell probing."""
+    from stats_spark.operators import similarity
+    emb = _tpch(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_topk_ivf(emb, queries, k=5, n_cells=16,
+                                   nprobe=2)
+
+
 # ---- multimodal plumbing (stubbed decode) -----------------------------
 
 def mm_features(spark, sf_dir):
@@ -621,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": emb_dup_pairs,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_banded": emb_ann_banded,
+        "emb_ann_ivf": emb_ann_ivf,
         "mm_features": mm_features,
         # transcript pipeline (parse → enrich → route → aggregate)
         "tr_line_type_counts": tr_line_type_counts,
@@ -948,6 +959,51 @@ def oracle_sql() -> dict[str, str]:
                  AS cosine
         FROM nb a JOIN nb q
           ON q.id < 20 AND a.bucket = q.bucket AND a.id <> q.id)
+      SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5"""
+
+    # IVF ANN: the coarse quantizer is the 16 corpus vectors with the
+    # smallest md5(id) (similarity.ivf_centroids) — both engines build
+    # identical centroids from the same parquet doubles, and sequential
+    # list_dot_product matches Spark's F.aggregate fold bit-for-bit, so
+    # cell assignment, probing and scoring reproduce exactly.  Ties in
+    # cell score go to the larger cell id (Spark's struct array_max).
+    sql["emb_ann_ivf"] = """
+      WITH n AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> x::DOUBLE) AS vec
+        FROM embeddings),
+      nn AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM n),
+      cents AS (
+        SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1
+                 AS cell,
+               list_transform(vec, x -> x / nrm) AS cvec
+        FROM nn ORDER BY md5(id::VARCHAR), id LIMIT 16),
+      assign AS (
+        SELECT a.id, c.cell,
+               row_number() OVER (PARTITION BY a.id
+                 ORDER BY list_dot_product(a.vec, c.cvec) DESC,
+                          c.cell DESC) AS rn
+        FROM nn a CROSS JOIN cents c),
+      cellof AS (SELECT id, cell FROM assign WHERE rn = 1),
+      probes AS (
+        SELECT q.id AS q_id, c.cell,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY list_dot_product(q.vec, c.cvec) DESC,
+                          c.cell DESC) AS rn
+        FROM nn q CROSS JOIN cents c WHERE q.id < 20),
+      scored AS (
+        SELECT pr.q_id, co.id AS neighbor_id,
+               round(list_dot_product(y.vec, x.vec) / (y.nrm * x.nrm), 6)
+                 AS cosine
+        FROM (SELECT q_id, cell FROM probes WHERE rn <= 2) pr
+        JOIN cellof co ON co.cell = pr.cell
+        JOIN nn x ON x.id = pr.q_id
+        JOIN nn y ON y.id = co.id
+        WHERE co.id <> pr.q_id)
       SELECT q_id, neighbor_id, cosine, rank FROM (
         SELECT *, row_number() OVER
           (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank

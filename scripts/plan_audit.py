@@ -128,6 +128,15 @@ def main():
           dedup.embedding_dup_pairs(emb, threshold=0.45))
     check("simhash64 (single groupBy)", dedup.simhash64(docs),
           wants=("HashAggregate",))
+    # the ANN scale paths must stay equi-joined (bucket/band/cell keys)
+    q_ann = emb.filter(F.col("vec_id") < 20)
+    check("ann_topk_banded (band equi-join)",
+          similarity.ann_topk_banded(emb, q_ann),
+          wants=("BroadcastHashJoin", "Window"))
+    check("ann_topk_ivf (cell equi-join)",
+          similarity.ann_topk_ivf(emb, q_ann),
+          wants=("BroadcastHashJoin", "Window"))
+
     # cosine_topk intentionally broadcasts the tiny query side and
     # scores with a broadcast nested loop — the documented exception
     q = emb.filter(F.col("vec_id") < 20)

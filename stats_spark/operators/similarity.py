@@ -141,6 +141,66 @@ def ann_topk_banded(emb: DataFrame, queries: DataFrame, k: int = 5,
                     "cosine", "rank"))
 
 
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16) -> list:
+    """Deterministic coarse quantizer for IVF: the ``n_cells`` corpus
+    vectors with the smallest md5(id) digests, L2-normalized.  Real
+    IVF trains k-means; the quantizer's quality affects only recall,
+    never the algebra, and a hash-sampled quantizer is reproducible by
+    an external SQL oracle.  Returns [(cell, [floats])] — tiny,
+    collected to the driver and re-broadcast as literals."""
+    rows = (corpus.withColumn("h", F.md5(F.col("id").cast("string")))
+            .orderBy("h", "id").limit(n_cells)
+            .select("vec", "norm").collect())
+    return [(ci, [float(x) / r.norm for x in r.vec])
+            for ci, r in enumerate(rows)]
+
+
+def _cell_scores(vec_col, cents):
+    """(score, cell) structs per centroid — array_max picks the best
+    cell, ties to the larger cell id (struct comparison)."""
+    return F.array(*[
+        F.struct(dot(vec_col, F.array(*[F.lit(x) for x in c])).alias("s"),
+                 F.lit(ci).alias("cell"))
+        for ci, c in cents])
+
+
+def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 n_cells: int = 16, nprobe: int = 2,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its best coarse
+    cell (inverted lists), probe each query's ``nprobe`` best cells,
+    score only those lists.  Scan cost drops to ~nprobe/n_cells of the
+    corpus per query; cells are disjoint so no candidate dedup is
+    needed.  At cluster scale the assignment is a write-side partition
+    key (partitionBy(cell)) and probing prunes partitions."""
+    from pyspark.sql import Window
+
+    corpus = with_norm(emb, vec_col, id_col)
+    cents = ivf_centroids(corpus, n_cells)
+    assigned = corpus.withColumn(
+        "cell", F.array_max(_cell_scores(F.col("vec"), cents))["cell"])
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"))
+    probes = (q.withColumn(
+        "cell",
+        F.explode(F.transform(
+            F.slice(F.reverse(F.array_sort(
+                _cell_scores(F.col("q_vec"), cents))), 1, nprobe),
+            lambda x: x["cell"]))))
+    scored = (assigned.join(F.broadcast(probes), "cell")
+              .filter(F.col("id") != F.col("q_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("vec"), F.col("q_vec"))
+                                  / (F.col("norm") * F.col("q_norm")), 6)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col("id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
 def ann_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, dim: int = 64,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

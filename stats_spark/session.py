@@ -65,15 +65,8 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("STATS_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # shuffle spill dir: this host's overlay /tmp serializes under
         # 32 concurrent writers (measured 2-4x sink slowdowns); tmpfs
         # restores scaling.  On a real cluster this is the executors'
@@ -81,6 +74,8 @@ def get_spark(
         .config("spark.local.dir",
                 os.environ.get("STATS_SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
     )
+    for k, v in SQL_CONF.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -119,6 +119,41 @@ def test_ann_banded_beats_single_bucket(spark):
     assert recall_b >= 0.5
 
 
+def test_ann_ivf_subset_and_structure(spark):
+    """IVF ANN: every hit scores identically to brute force; cells are
+    disjoint (each corpus vector sits in exactly one inverted list);
+    probing more cells is monotone in recall."""
+    import numpy as np
+    rng = np.random.default_rng(21)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 8")
+    exact = similarity.cosine_topk(emb, q, k=5)
+    ex = {(r.q_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    ivf2 = {(r.q_id, r.neighbor_id): r.cosine
+            for r in similarity.ann_topk_ivf(emb, q, k=5, n_cells=8,
+                                             nprobe=2).collect()}
+    for pair, c in ivf2.items():
+        if pair in ex:
+            assert c == ex[pair]
+    # full probe == exact (all cells scanned)
+    ivf_all = {(r.q_id, r.neighbor_id): r.cosine
+               for r in similarity.ann_topk_ivf(emb, q, k=5, n_cells=8,
+                                                nprobe=8).collect()}
+    assert ivf_all == ex
+    recall2 = len(set(ivf2) & set(ex)) / len(ex)
+    assert recall2 > 0
+    # disjoint inverted lists: assignment is a function of the vector
+    corpus = similarity.with_norm(emb)
+    cents = similarity.ivf_centroids(corpus, 8)
+    from pyspark.sql import functions as F
+    assigned = corpus.withColumn(
+        "cell", F.array_max(similarity._cell_scores(F.col("vec"),
+                                                    cents))["cell"])
+    assert assigned.count() == assigned.select("id").distinct().count()
+
+
 def test_embedding_dup_lsh_recall(spark):
     """The LSH-gated near-dup path must (a) plan an equi-join, never a
     cartesian, (b) return a subset of the brute-force pairs with
