@@ -75,6 +75,14 @@ def _battles(spark: SparkSession) -> DataFrame:
         tr = tables.load_transcripts(spark, c)
         cv = tables.load_conversations(spark, c)
         parse_battles(tr, cv).write.mode("overwrite").parquet(path)
+    # GC stale siblings from older code versions — exactly one battles
+    # cache lives on disk at a time
+    import shutil
+    for d in os.listdir(T2_DIR):
+        full = os.path.join(T2_DIR, d)
+        if (d.startswith("battles_cache_") and full != path
+                and os.path.isdir(full)):
+            shutil.rmtree(full, ignore_errors=True)
     return spark.read.parquet(path)
 
 
@@ -600,6 +608,17 @@ def tr_anon_leaks(spark, sf_dir):
             .select("format", "n_lines", "n_leaks"))
 
 
+def tr_anon_public(spark, sf_dir):
+    """F6 public-battle filter + F5 hash sampling: password rooms
+    (roomid ending 'pw', anon/src/index.ts:95) are excluded before the
+    deterministic md5-bucket sample."""
+    from stats_spark.operators import anonymize as A
+    from stats_spark.sources import tables
+    cv = tables.load_conversations(spark, _corpus())
+    return (A.sample_conversations(cv, 0.5, public_only=True)
+            .groupBy("format").agg(F.count("*").alias("n_public")))
+
+
 def tr_tier_update(spark, sf_dir):
     """W10 tier rise/drop ladder over month-bucketed weighted usage."""
     from stats_spark.plans import tiers
@@ -639,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_player_wins": tr_player_wins,
         "tr_rejects": tr_rejects,
         "tr_anon_sample": tr_anon_sample,
+        "tr_anon_public": tr_anon_public,
         "tr_anon_leaks": tr_anon_leaks,
         "tr_usage_weighted": tr_usage_weighted,
         "tr_usage_report": tr_usage_report,
@@ -1052,6 +1072,13 @@ def oracle_sql() -> dict[str, str]:
       WHERE ('0x' || substr(md5(conv_id), 1, 15))::UBIGINT % 1000000 < 250000
       GROUP BY 1"""
 
+    sql["tr_anon_public"] = f"""
+      SELECT format, count(*) AS n_public
+      FROM {CV}
+      WHERE roomid NOT LIKE '%pw'
+        AND ('0x' || substr(md5(conv_id), 1, 15))::UBIGINT % 1000000 < 500000
+      GROUP BY 1"""
+
     sql["tr_usage_weighted"] = f"""
       WITH {_weighted_mons_cte()}
       SELECT format, cutoff, species, count(*) AS raw_count,
@@ -1162,6 +1189,10 @@ def oracle_sql() -> dict[str, str]:
                  f"AND ({cascade}) = '{_tiers.FLOOR}' "
                  f"AND species IN ({members}) THEN '{_tiers.FLOOR_BAN}' "
                  f"ELSE {final} END)")
+    # a species in NO usage report keeps its current tier
+    # (reports.ts:584-587) — mirrors tier_update's has_usage guard
+    final = (f"(CASE WHEN has_usage = 0 THEN current_tier "
+             f"ELSE {final} END)")
     sql["tr_tier_update"] = f"""
       WITH {_rejects_cte()},
       sides AS (
@@ -1207,6 +1238,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.species,
                CASE WHEN d.tier IN {known} THEN d.tier ELSE '{_tiers.FLOOR}' END
                  AS current_tier,
+               max(CASE WHEN c.species IS NOT NULL THEN 1 ELSE 0 END)
+                 AS has_usage,
                {", ".join(
                    f"coalesce(max(CASE WHEN c.format = '{fmt}' THEN usage END), 0.0) AS u_{fmt}"
                    for fmt, _t, _b in ladder)}

@@ -118,6 +118,12 @@ def main():
           wants=("HashAggregate",))
     check("encounters (mirror union + pivot)", frames["encounters"],
           wants=("HashAggregate",))
+    # the weighting is JVM sqlgen everywhere — no Arrow round-trip in
+    # any weighted frame (battles_w was the last pandas-UDF site)
+    check("battles_weighted (JVM erf, zero Python)",
+          frames["_battles_w"],
+          forbids=("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython"))
     check("viability (window rank)", frames["viability"],
           wants=("Window",))
 

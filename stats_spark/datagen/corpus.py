@@ -264,9 +264,22 @@ def gen_conversation(conv_idx: int, n_convs: int, seed: int = dims.SEED):
             level=m["level"], happiness=m["happiness"], tera_type=m["tera_type"],
         ) for m in team]
 
+    # roomid: public battles carry the plain room name; a deterministic
+    # ~20% minority are password-protected rooms whose id ends in "pw"
+    # (the F6 filter key — anon/src/index.ts roomid.endsWith('pw')).
+    # Derived from md5(conv_id), NOT an rng draw, so adding it did not
+    # perturb the generator's random stream (corpus content is stable
+    # across datagen versions except for new columns).
+    import hashlib as _hl
+    private = int(_hl.md5(conv_id.encode()).hexdigest()[:8], 16) % 5 == 0
+    roomid = conv_id + ("-deadbeefpw" if private else "")
+
     meta = dict(
-        conv_id=conv_id, format=fmt, p1=p1, p2=p2,
+        conv_id=conv_id, format=fmt, p1=p1, p2=p2, roomid=roomid,
         winner=winner, end_type="normal", turns=turns,
+        # exact transcript line count: the streaming FSM's primary
+        # completeness signal (robust to post-terminal lines)
+        n_lines=len(lines),
         p1_rating_rpr=r1[0], p1_rating_rprd=r1[1],
         p2_rating_rpr=r2[0], p2_rating_rprd=r2[1],
         p1_team=team_rows(teams[0]), p2_team=team_rows(teams[1]),
@@ -314,19 +327,42 @@ def ensure_corpus(tier: str, base: str | None = None, spark=None) -> dict:
     d = corpus_dir(tier, base)
     tpath = os.path.join(d, "transcripts.parquet")
     cpath = os.path.join(d, "conversations.parquet")
-    if os.path.exists(os.path.join(d, "_DONE")):
-        return {"transcripts": tpath, "conversations": cpath, "dir": d}
-    os.makedirs(d, exist_ok=True)
     n = TIERS[tier]
+    stamp = f"n_convs={n}\ndatagen={datagen_version()}\n"
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                return {"transcripts": tpath, "conversations": cpath,
+                        "dir": d}
+        # datagen code changed since this corpus was written — a stale
+        # corpus must never feed tests or the driver gate (its schema /
+        # content would silently diverge from a fresh environment's)
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
     if tier == "bench" and spark is not None:
         _generate_spark(spark, n, tpath, cpath)
     else:
         convs, turns = generate_pandas(n)
         _write_parquet(turns, tpath, partition_cols=["format"])
         _write_parquet(convs, cpath, partition_cols=None)
-    with open(os.path.join(d, "_DONE"), "w") as f:
-        f.write(f"n_convs={n}\n")
+    with open(marker, "w") as f:
+        f.write(stamp)
     return {"transcripts": tpath, "conversations": cpath, "dir": d}
+
+
+def datagen_version() -> str:
+    """Hash of the datagen code: corpora regenerate when it changes so
+    cached and freshly-generated environments agree byte-for-byte."""
+    import hashlib
+
+    h = hashlib.md5()
+    here = os.path.dirname(__file__)
+    for mod in ("corpus.py", "dims.py"):
+        with open(os.path.join(here, mod), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
 
 
 def _write_parquet(pdf: pd.DataFrame, path: str, partition_cols=None):
@@ -379,8 +415,9 @@ def _generate_spark(spark, n_convs: int, tpath: str, cpath: str):
             yield pd.DataFrame(rows)
 
     meta_schema = (
-        "conv_id string, format string, p1 string, p2 string, winner string, "
-        "end_type string, turns int, p1_rating_rpr double, p1_rating_rprd double, "
+        "conv_id string, format string, p1 string, p2 string, roomid string, "
+        "winner string, end_type string, turns int, n_lines int, "
+        "p1_rating_rpr double, p1_rating_rprd double, "
         "p2_rating_rpr double, p2_rating_rprd double, p1_team string, "
         "p2_team string, ts timestamp, day string")
     team_elem = (

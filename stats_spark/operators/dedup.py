@@ -27,6 +27,31 @@ from stats_spark.functions import text as T
 
 HASH_BITS = 60
 
+# one pinned shingle frame at a time: each ngram_jaccard_pairs call
+# unpersists the previous call's cache (repeated operator calls in a
+# long-lived session must not accumulate pinned RDDs)
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def _cache_shingles(sh: DataFrame) -> DataFrame:
+    while _SHINGLE_CACHE:
+        try:
+            _SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    sh = sh.cache()
+    _SHINGLE_CACHE.append(sh)
+    return sh
+
+
+def unpersist_shingles() -> None:
+    """Release the shingle cache (callers that are done deduping)."""
+    while _SHINGLE_CACHE:
+        try:
+            _SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
 
 def exact_dups(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
@@ -67,7 +92,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                 .filter(F.col("df") <= max_df).select("sh"))
         sh = sh.join(rare, "sh")
-    sh = sh.cache()
+    sh = _cache_shingles(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))

@@ -28,7 +28,7 @@ from stats_spark.datagen import dims
 from stats_spark.operators import aggregate as agg
 from stats_spark.operators import enrich
 from stats_spark.operators.parse import parse_battles
-from stats_spark.functions.weights import weighting_udf
+from stats_spark.functions.weights import weighting_expr
 from stats_spark.sources import tables
 
 
@@ -104,9 +104,12 @@ def battles_weighted(battles: DataFrame,
                 .drop("rpr", "rprd", "outcome", "rating_valid", "gxe"))
     df = enrich.explode_cutoffs(df, cutoffs)
     for s in ("p1", "p2"):
+        # JVM-side erf weighting (same sqlgen expr as the mons path) —
+        # keeps the battles×cutoffs frame inside whole-stage codegen,
+        # no Arrow round-trip (the last pandas-UDF weight site is gone).
         df = df.withColumn(
-            f"w_{s}", weighting_udf(f"{s}_eff_rpr", f"{s}_eff_rprd",
-                                    F.col("cutoff").cast("double")))
+            f"w_{s}", weighting_expr(f"{s}_eff_rpr", f"{s}_eff_rprd",
+                                     "cutoff"))
     return df
 
 

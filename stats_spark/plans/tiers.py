@@ -33,6 +33,7 @@ partitions.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, functions as F
@@ -66,6 +67,36 @@ TIER_ORDER.append(FLOOR_BAN)
 TIER_ORDER.append(FLOOR)
 
 SUFFIXES = ("suspecttest", "alpha", "beta")   # reports.ts:64
+
+
+@dataclass(frozen=True)
+class LadderConfig:
+    """One rise/drop ladder (reports.ts TIERS/USAGE_TIERS shapes).
+
+    ``ladder`` entries are (usage_key, tier, ban_above_this_rung);
+    ``usage_key`` is the pivot value in the usage frame's ``format``
+    column, or None for a rung with no usage report (the reference's
+    nationaldex ladder walks OU..ZU but only OU/UU reports exist —
+    `update[tier]` is then `undefined`, which rises/drops nothing and
+    leaves the rung's residents in place).  The synthetic default
+    mirrors the driver corpus; parity/tier_goldens.py builds the
+    reference's singles/doubles/nationaldex configs from the vendored
+    tiers.json."""
+    ladder: tuple
+    floor: str
+    floor_ban: str | None
+    uber: str
+    tier_order: tuple
+
+    @property
+    def report_keys(self) -> list[str]:
+        return [k for k, _t, _b in self.ladder if k]
+
+
+def synthetic_config() -> LadderConfig:
+    return LadderConfig(ladder=tuple((f, t, b) for f, t, b in LADDER),
+                        floor=FLOOR, floor_ban=FLOOR_BAN, uber="Ubers",
+                        tier_order=tuple(TIER_ORDER))
 
 
 @lru_cache(maxsize=1)
@@ -183,47 +214,64 @@ def combined_usage(monthly: DataFrame,
 
 def tier_update(usage: DataFrame, spark,
                 current: dict[str, str] | None = None,
-                floor_bl=None) -> DataFrame:
+                floor_bl=None,
+                config: LadderConfig | None = None) -> DataFrame:
     """The full rise/drop ladder — computeRiseAndDrop
     (reports.ts:619-649) as a when-cascade over the pivoted per-rung
     usage columns, including XBL stickiness and the floor-only BL
-    override.  ``current``/``floor_bl`` default to the synthetic
-    config tables; tests inject hand-built ones to pin each branch."""
+    override.  ``current``/``floor_bl``/``config`` default to the
+    synthetic tables; tests inject hand-built ones to pin each branch
+    and parity/tier_goldens.py injects the reference's real configs.
+
+    A species that appears in NO usage report keeps its current tier
+    (reports.ts:584-587 ``if (!update) { updated.set(id, tier);
+    continue; }``) — has_usage is tracked before the zero-fill so an
+    idle species does not read as zero usage and drop a rung."""
+    cfg = config or synthetic_config()
+    keys = cfg.report_keys
     pivoted = (usage.groupBy("species")
-               .pivot("format", TIER_FORMATS).agg(F.first("usage"))
-               .na.fill(0.0, TIER_FORMATS))
+               .pivot("format", keys).agg(F.first("usage"))
+               .withColumn("has_usage", F.lit(True)))
     cur_rows = [dict(species=s, current_tier=t)
                 for s, t in sorted((current or current_tiers()).items())]
     cur = F.broadcast(spark.createDataFrame(
         cur_rows, "species string, current_tier string"))
-    j = pivoted.join(cur, "species", "right").na.fill(0.0, TIER_FORMATS)
+    j = (pivoted.join(cur, "species", "right")
+         .withColumn("has_usage",
+                     F.coalesce("has_usage", F.lit(False)))
+         .na.fill(0.0, keys))
     # normalize tiers outside the ladder to the floor (reports.ts:574:
     # tier not in TIERS[type] → floor)
     j = j.withColumn("current_tier",
-                     F.when(F.col("current_tier").isin(TIER_ORDER),
-                            F.col("current_tier")).otherwise(F.lit(FLOOR)))
+                     F.when(F.col("current_tier").isin(list(cfg.tier_order)),
+                            F.col("current_tier"))
+                     .otherwise(F.lit(cfg.floor)))
 
-    u = {fmt: F.col(fmt) for fmt in TIER_FORMATS}
-    tiers_seq = [t for _f, t, _b in LADDER] + [FLOOR]
-    updated = F.when(F.col("current_tier") == "Ubers", F.lit("Ubers"))
-    for i, (fmt, tier, _ban) in enumerate(LADDER):
+    # per-rung usage column; a rung with no usage report gets NULL,
+    # whose three-valued comparisons reproduce JS `undefined > x` /
+    # `undefined < x` === false (no rise, no drop — residents stay)
+    u = {t: (F.col(k) if k else F.lit(None).cast("double"))
+         for k, t, _b in cfg.ladder}
+    tiers_seq = [t for _k, t, _b in cfg.ladder] + [cfg.floor]
+    updated = F.when(F.col("current_tier") == cfg.uber, F.lit(cfg.uber))
+    for i, (_k, tier, _ban) in enumerate(cfg.ladder):
         lower = tiers_seq[i + 1]
         # the ban tier between this rung and the one below = the ban
         # of the DROP target (riseAndDrop(r, d, b) passes d's ban —
         # reports.ts:602-606), checked AFTER this rung's rise/drop and
         # BEFORE the next rung's rise check, so a banned species never
         # rises into the rung it's banned from
-        ban_below = (LADDER[i + 1][2] if i + 1 < len(LADDER)
-                     else FLOOR_BAN)
-        updated = updated.when(u[fmt] > RISE, F.lit(tier))
+        ban_below = (cfg.ladder[i + 1][2] if i + 1 < len(cfg.ladder)
+                     else cfg.floor_ban)
+        updated = updated.when(u[tier] > RISE, F.lit(tier))
         updated = updated.when(
             F.col("current_tier") == tier,
-            F.when(u[fmt] < DROP, F.lit(lower)).otherwise(F.lit(tier)))
+            F.when(u[tier] < DROP, F.lit(lower)).otherwise(F.lit(tier)))
         if ban_below:
             # XBL stickiness — reports.ts:644-647
             updated = updated.when(F.col("current_tier") == ban_below,
                                    F.lit(ban_below))
-    updated = updated.otherwise(F.lit(FLOOR))
+    updated = updated.otherwise(F.lit(cfg.floor))
 
     # BL-list override — reports.ts:609-614: every riseAndDrop hit
     # `continue`s past it, so it fires only on TRUE fallthrough (a
@@ -231,20 +279,25 @@ def tier_update(usage: DataFrame, spark,
     # as lookup key.  A drop from the last rung also lands on FLOOR
     # but via a riseAndDrop hit, so it must NOT be overridden — hence
     # the current_tier == FLOOR guard.
-    bl = sorted(bl_sets().get(FLOOR_BAN, ())
-                if floor_bl is None else floor_bl)
+    if floor_bl is None and config is None:
+        floor_bl = bl_sets().get(FLOOR_BAN, ())
+    bl = sorted(floor_bl or ())
     final = updated
-    if bl:
-        final = F.when((F.col("current_tier") == FLOOR)
-                       & (updated == FLOOR) & F.col("species").isin(bl),
-                       F.lit(FLOOR_BAN)).otherwise(updated)
+    if bl and cfg.floor_ban:
+        final = F.when((F.col("current_tier") == cfg.floor)
+                       & (updated == cfg.floor) & F.col("species").isin(bl),
+                       F.lit(cfg.floor_ban)).otherwise(updated)
+    # no usage entry at all → keep the (normalized) current tier; the
+    # BL override never applies (reference continues before it)
+    final = F.when(~F.col("has_usage"),
+                   F.col("current_tier")).otherwise(final)
 
     return (j.withColumn("updated_tier", final)
             .withColumn("changed",
                         F.col("updated_tier") != F.col("current_tier"))
             .select("species", "current_tier", "updated_tier", "changed",
-                    *[F.round(u[f], 6).alias(f"usage_{f}")
-                      for f in TIER_FORMATS]))
+                    *[F.round(F.col(k), 6).alias(f"usage_{k}")
+                      for k in keys]))
 
 
 def tier_update_lines(result: DataFrame, spark=None) -> list[str]:

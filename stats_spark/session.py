@@ -40,8 +40,13 @@ def get_submit_spark(app_name: str = "stats_spark_job",
         if not submitted.contains(k):
             try:
                 spark.conf.set(k, v)
-            except Exception:
-                pass  # static conf already fixed by the submit command
+            except Exception as e:
+                # only a static conf already fixed by the submit command
+                # is ignorable; a genuinely invalid key/value must
+                # surface, not vanish
+                if "Cannot modify the value of" in str(e):
+                    continue
+                raise
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

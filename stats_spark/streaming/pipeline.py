@@ -110,23 +110,42 @@ def stream_battles(spark: SparkSession, corpus_paths: dict,
         idxs, lines = list(idxs), list(lines)
         done = state.hasTimedOut  # stalled conversation: flush as-is
         for pdf in pdfs:
-            for _, r in pdf.iterrows():
-                meta_json = meta_json or r["meta_json"]
-                idxs.append(int(r["turn_idx"]))
-                lines.append(r["text"])
-        # Flush only when the buffer is COMPLETE: the terminal
-        # |win|/|tie| line is present AND every turn_idx below it has
-        # arrived.  Merely sighting the terminal line is not enough —
-        # with cross-file/micro-batch disorder stragglers can arrive
-        # AFTER the terminal line's batch, and flushing early would
-        # parse a prefix and later re-create state that emits a
-        # second, bogus row for the same conv_id.
+            if len(pdf) == 0:
+                continue
+            # bulk column extraction (no per-row iterrows): Arrow gives
+            # contiguous columns, so .tolist() is one vectorized copy
+            if meta_json is None:
+                meta_json = pdf["meta_json"].iat[0]
+            idxs.extend(int(i) for i in pdf["turn_idx"].tolist())
+            lines.extend(pdf["text"].tolist())
+        # Flush only when the buffer is COMPLETE.  Two completeness
+        # signals, in preference order:
+        #   1. ``n_lines`` in the conversation metadata (exact line
+        #      count, written by datagen) — robust to post-terminal
+        #      lines (|raw|, chat, |l|) in any position.
+        #   2. Fallback (corpora without n_lines): the terminal
+        #      |win|/|tie| line is present, is the max turn_idx, and
+        #      every turn_idx below it has arrived.  This relies on the
+        #      corpus invariant that the terminal line is LAST; logs
+        #      with post-terminal lines must carry n_lines (or set
+        #      timeout_ms so stalled state flushes).  Merely sighting
+        #      the terminal line is never enough — with cross-batch
+        #      disorder stragglers can arrive after it, and flushing
+        #      early would parse a prefix and later re-create state
+        #      that emits a second, bogus row for the same conv_id.
         if not done and lines:
-            term = max((i for i, t in zip(idxs, lines)
-                        if t.startswith("|win|") or t == "|tie"),
-                       default=None)
-            done = (term is not None and max(idxs) == term
-                    and len(set(idxs)) == term + 1)
+            n_expected = None
+            if meta_json and '"n_lines"' in meta_json:
+                n_expected = json.loads(meta_json).get("n_lines")
+            uniq = len(set(idxs))
+            if n_expected is not None:
+                done = uniq == n_expected and max(idxs) == n_expected - 1
+            else:
+                term = max((i for i, t in zip(idxs, lines)
+                            if t.startswith("|win|") or t == "|tie"),
+                           default=None)
+                done = (term is not None and max(idxs) == term
+                        and uniq == term + 1)
         if not done:
             state.update((meta_json, idxs, lines))
             if timeout_ms:

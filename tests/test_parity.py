@@ -100,3 +100,16 @@ def test_display_byte_parity(fmt_frames, cutoff):
     got = run.render_display(fmt, cutoff, frames)
     want = fixtures.golden(fmt, "display", cutoff)
     assert got == want
+
+
+@pytest.mark.parametrize("type_", ["singles", "doubles", "nationaldex",
+                                   "littlecup"])
+def test_tier_update_byte_parity(spark, type_):
+    """W10 against the reference's OWN tier-update goldens
+    (testdata/stats/update/*.txt, written by integration.ts:162): the
+    vendored tiers.json + 3 months of real usage reports run through
+    parseUsageReport → n-weighted month merge → the Spark ladder
+    (plans/tiers.py:tier_update with the reference LadderConfig) →
+    makeTable + moved-from rendering, byte-for-byte."""
+    from stats_spark.parity import tier_goldens as tg
+    assert tg.tier_update_report(spark, type_) == tg.golden(type_)

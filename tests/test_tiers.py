@@ -114,12 +114,16 @@ def _update_inj(spark, rows, current, floor_bl):
 
 
 def test_bl_override_floor_fallthrough(spark):
-    """A floor species on the floor's BL list that doesn't rise falls
-    through to the floor and is bumped to the floor's ban tier —
-    reports.ts:609-614 (the only reachable override path)."""
+    """A floor species on the floor's BL list that appears in a report
+    but doesn't rise falls through to the floor and is bumped to the
+    floor's ban tier — reports.ts:609-614 (the only reachable override
+    path).  The species must HAVE a usage entry: with none at all the
+    reference keeps the current tier and never reaches the override
+    (reports.ts:584-587)."""
     cur = {"blmon": tiers.FLOOR, "freemon": tiers.FLOOR}
     bl = frozenset({"blmon"})
-    pdf = _update_inj(spark, [("gen9ou", "nobody", 0.0)], cur, bl)
+    rows = [("gen9ou", "blmon", 0.0), ("gen9ou", "freemon", 0.0)]
+    pdf = _update_inj(spark, rows, cur, bl)
     assert pdf.loc["blmon"].updated_tier == tiers.FLOOR_BAN
     assert pdf.loc["freemon"].updated_tier == tiers.FLOOR
     # a rise escapes the override (riseAndDrop hit → continue)
@@ -130,12 +134,12 @@ def test_bl_override_floor_fallthrough(spark):
 def test_bl_override_fires_in_synthetic_config(spark):
     """The driver corpus config itself exercises the override: at
     least one floor-BL member sits on the floor and lands in
-    FLOOR_BAN under zero usage."""
+    FLOOR_BAN when it appears in a report without rising."""
     cur = tiers.current_tiers()
     bl = tiers.bl_sets().get(tiers.FLOOR_BAN, frozenset())
     members = sorted(s for s in bl if cur.get(s) == tiers.FLOOR)
     assert members, "floor overlay must give the override a subject"
-    pdf = _update(spark, [("gen9ou", "nobody", 0.0)])
+    pdf = _update(spark, [("gen9ou", members[0], 0.001)])
     assert pdf.loc[members[0]].updated_tier == tiers.FLOOR_BAN
 
 
@@ -145,15 +149,27 @@ def test_drop_to_floor_not_overridden(spark):
     the species is on the floor BL list."""
     cur = {"blmon": "NU"}
     bl = frozenset({"blmon"})
-    pdf = _update_inj(spark, [("gen9ou", "nobody", 0.0)], cur, bl)
+    pdf = _update_inj(spark, [("gen9ou", "blmon", 0.0)], cur, bl)
     assert pdf.loc["blmon"].updated_tier == tiers.FLOOR
 
 
-def test_floor_default(result):
+def test_no_usage_keeps_current_tier(result):
+    """A species absent from EVERY usage report keeps its current tier
+    (reports.ts:584-587 `if (!update) { updated.set(id, tier);
+    continue; }`) — zero usage drops a rung, NO usage does not."""
     pdf, bt = result
     idle = [s for s in bt.get("NU", []) if s in pdf.index][1:]
-    assert idle and all(pdf.loc[s].updated_tier == tiers.FLOOR
-                        for s in idle)
+    assert idle and all(pdf.loc[s].updated_tier == "NU" for s in idle)
+    assert not any(bool(pdf.loc[s].changed) for s in idle)
+
+
+def test_zero_usage_drops_a_rung(spark):
+    """…while an explicit zero-usage entry (the species appears in a
+    report) DOES drop one rung: the JS entry is zero-initialized for
+    every rung once any report mentions the species."""
+    cur = {"idlemon": "NU"}
+    pdf = _update_inj(spark, [("gen9ou", "idlemon", 0.0)], cur, ())
+    assert pdf.loc["idlemon"].updated_tier == tiers.FLOOR
 
 
 def test_mega_suppression(spark):
