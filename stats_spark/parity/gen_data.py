@@ -49,6 +49,7 @@ SPECIES: dict[str, tuple[str, str, bool]] = {
         "gastrodon", "genesect", "keldeo",
     ]},
     # non-mega formes (display name, base)
+    "gastrodoneast": ("Gastrodon-East", "gastrodon", False),
     "nidoranm": ("Nidoran-M", "nidoranm", False),
     "raichualola": ("Raichu-Alola", "raichualola", False),
     "ogerponcornerstone": ("Ogerpon-Cornerstone", "ogerpon", False),
