@@ -629,6 +629,19 @@ def tr_tier_update(spark, sf_dir):
                              spark)
 
 
+def tr_binary_db(spark, sf_dir):
+    """S8 fixed-width binary battle rows (Binary.Log gen-1 layout,
+    stats/BINARY.md:15-31, workflows/pkmn/db.ts): 77-byte ts/turns/
+    end-type/ratings/teams records, encoded entirely JVM-side and
+    returned as hex for the hash gate.  The corpus has no gen<=2
+    formats, so the layout is exercised over all parsed battles; the
+    byte offsets themselves are pinned by tests/test_binary_db.py."""
+    from stats_spark.operators import binary_db
+    b = _battles(spark).filter("error IS NULL")
+    return binary_db.encode_logs(b, gen=1).select("conv_id", "ts_ms",
+                                                  "row_hex")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/joins/aggs/windows over the driver tables
@@ -666,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_leads_raw": tr_leads_raw,
         "tr_teammate_pairs": tr_teammate_pairs,
         "tr_tier_update": tr_tier_update,
+        "tr_binary_db": tr_binary_db,
         "tr_encounters": tr_encounters,
         "tr_moveset": tr_moveset,
         "tr_metagame": tr_metagame,
@@ -1450,5 +1464,85 @@ def oracle_sql() -> dict[str, str]:
       WHERE NOT (a.format NOT IN {non_6v6} AND (a.turns < 2 OR
                  (a.turns < 3 AND a.format NOT IN {non_singles})))
       GROUP BY 1, 2, 3"""
+
+    # S8 binary DB rows — byte-for-byte hex twin of
+    # binary_db.encode_logs(gen=1): LE multi-byte fields emitted one
+    # printf('%02x') byte at a time, winner block first, zero-padded
+    # empty slots/moves, mega-canonical species ids
+    from stats_spark.operators import binary_db as _bin
+
+    def _le(expr: str, n: int) -> str:
+        return " || ".join(f"printf('%02x', (({expr}) >> {8 * i}) & 255)"
+                           for i in range(n))
+
+    lk = _bin.lookups()
+    spvals = ", ".join(f"('{s}', {n})"
+                       for s, n in sorted(lk["species"].items()))
+    mvvals = ", ".join(f"('{m}', {n})"
+                       for m, n in sorted(lk["moves"].items()))
+    rating = {
+        1: ("CASE WHEN p1_rating_rpr IS NOT NULL THEN "
+            f"{_le('CAST(round(p1_rating_rpr) AS BIGINT)', 2)}"
+            " || printf('%02x', CAST(round(p1_rating_rprd) AS BIGINT)"
+            " & 255) ELSE '000000' END"),
+        2: ("CASE WHEN p2_rating_rpr IS NOT NULL THEN "
+            f"{_le('CAST(round(p2_rating_rpr) AS BIGINT)', 2)}"
+            " || printf('%02x', CAST(round(p2_rating_rprd) AS BIGINT)"
+            " & 255) ELSE '000000' END"),
+    }
+    endhex = ("CASE WHEN winner IS NULL OR winner = '' OR winner = 'tie'"
+              " THEN '01' ELSE '00' END")
+    sql["tr_binary_db"] = f"""
+      WITH {_rejects_cte()},
+      spmap(species, num) AS (VALUES {spvals}),
+      mvmap(move, num) AS (VALUES {mvvals}),
+      b AS (
+        SELECT conv_id, ts, turns, winner, p2, p1_team, p2_team,
+               {rating[1]} AS r1hex, {rating[2]} AS r2hex,
+               {endhex} AS ehex
+        FROM {CV}
+        WHERE conv_id NOT IN (SELECT conv_id FROM rejects)),
+      slots AS (
+        SELECT conv_id, s.side, i.slot,
+               CASE WHEN s.side = 1 THEN p1_team[i.slot]
+                    ELSE p2_team[i.slot] END AS mon
+        FROM b, (SELECT 1 AS side UNION ALL SELECT 2) s,
+             (SELECT unnest(range(1, 7)) AS slot) i),
+      mon_moves AS (
+        SELECT conv_id, side, slot, jj.j,
+               struct_extract(mon, 'moves')[jj.j] AS move
+        FROM slots, (SELECT unnest(range(1, 5)) AS j) jj),
+      move_hex AS (
+        SELECT conv_id, side, slot,
+               string_agg(CASE WHEN mm.move IS NULL THEN '00'
+                               ELSE printf('%02x', coalesce(mv.num, 0))
+                          END, '' ORDER BY mm.j) AS mhex
+        FROM mon_moves mm LEFT JOIN mvmap mv ON mv.move = mm.move
+        GROUP BY 1, 2, 3),
+      mon_hex AS (
+        SELECT sl.conv_id, sl.side, sl.slot,
+               CASE WHEN sl.mon IS NULL THEN '0000000000'
+                    ELSE printf('%02x', coalesce(sp.num, 0)) || mh.mhex
+               END AS hex
+        FROM slots sl
+        JOIN move_hex mh ON mh.conv_id = sl.conv_id
+          AND mh.side = sl.side AND mh.slot = sl.slot
+        LEFT JOIN spmap sp ON sp.species =
+          {_mega_case_sql("struct_extract(sl.mon, 'species')",
+                          "struct_extract(sl.mon, 'item')")}),
+      team_hex AS (
+        SELECT conv_id, side,
+               string_agg(hex, '' ORDER BY slot) AS thex
+        FROM mon_hex GROUP BY 1, 2)
+      SELECT b.conv_id, epoch_ms(ts) AS ts_ms,
+             {_le('epoch_ms(ts)', 8)} || {_le('turns', 2)} || ehex ||
+             CASE WHEN winner = p2 THEN r2hex ELSE r1hex END ||
+             CASE WHEN winner = p2 THEN r1hex ELSE r2hex END ||
+             CASE WHEN winner = p2 THEN t2.thex ELSE t1.thex END ||
+             CASE WHEN winner = p2 THEN t1.thex ELSE t2.thex END
+               AS row_hex
+      FROM b
+      JOIN team_hex t1 ON t1.conv_id = b.conv_id AND t1.side = 1
+      JOIN team_hex t2 ON t2.conv_id = b.conv_id AND t2.side = 2"""
 
     return sql

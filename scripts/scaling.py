@@ -56,17 +56,24 @@ b = (SparkSession.builder
      .config("spark.sql.shuffle.partitions", "32"))
 for k, v in SQL_CONF.items():
     b = b.config(k, v)
+t_boot0 = time.time()
 spark = b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 c = corpus.ensure_corpus("bench")
 n_turns = tables.load_transcripts(spark, c).count()
+t_boot = time.time() - t_boot0
 out = os.path.join(corpus.corpus_dir("bench"), f"scale_out_{n_exec}x")
 t0 = time.time()
 m = pipeline.run_pipeline(spark, c, out, count_rows=False)
 dt = time.time() - t0
 print(json.dumps(dict(executors=n_exec, cores=n_exec * EXEC_CORES,
                       seconds=round(dt, 2), turns=n_turns,
+                      boot_seconds=round(t_boot, 2),
                       parse_seconds=m["parse_seconds"],
+                      cache_seconds=m.get("cache_seconds"),
+                      sink_seconds=m.get("sink_seconds"),
+                      sink_detail={s["partition"]: s["seconds"]
+                                   for s in m["sinks"]},
                       turns_per_sec=round(n_turns / dt, 1))))
 spark.stop()
 """.replace("EXEC_CORES", str(EXEC_CORES)).replace(

@@ -1,0 +1,350 @@
+"""S8 — the fixed-width binary battle-DB sink (`Binary.Log`).
+
+Spark restatement of the reference's binary log format
+(`stats/BINARY.md:15-31`, `stats/src/binary.ts:148-190`) and of the
+`pkmn/db` workflow that builds a timestamp-sorted `.db` file per
+format from it (`workflows/pkmn/db.ts:29-85`):
+
+    | 0..8   | unix epoch milliseconds (u64)                  |
+    | 8..10  | turns (u16)                                    |
+    | 10..11 | end type (normal/tie/forfeit/forced win/tie)   |
+    | 11..13 | winner's rpr (u16)  | 13..14 | winner's rprd (u8) |
+    | 14..16 | loser's  rpr (u16)  | 16..17 | loser's  rprd (u8) |
+    | 17..17+N   | winner's team (6 × Sizes[gen] bytes)       |
+    | 17+N..17+2N | loser's team                              |
+
+Per-mon team encoding (`binary.ts:59-96`): gen 1 = species + 4 moves
+(5 bytes); gen 2 = species + item + 4 moves + hidden-power type
+(7 bytes); absent slots / moves are zero bytes.  All multi-byte
+fields are little-endian (the reference is native-endian;
+`binary.ts:14-18` — every platform this runs on is LE).
+
+Physical strategy — the encoder is a PURE COLUMN EXPRESSION: per-slot
+`element_at` field extraction, literal-map lookups (species/move/item
+index maps are tiny — `Lookup` in `@pkmn/engine` is the reference's
+equivalent side table), and byte-wise `lpad(hex(shiftright(x,8i) &
+255))` concatenation, so the whole row encodes inside whole-stage
+codegen with no Python in the path.  `unhex` materializes the binary
+row.  The sink range-partitions on the timestamp key and sorts within
+partitions, so the part files concatenate (in partition order) into
+one globally ts-sorted `.db` stream — the distributed analog of
+`db.ts`'s sorted-buffer merge (`db.ts:70-77`).
+
+Two disclosed divergences from the reference, both cited:
+  * `binary.ts`'s `Write.u8` drops its value argument
+    (`binary.ts:38-40` writes `offset` at position 0) and the gen-2
+    hidden-power rewrite reads `charAt(11)` of the REWRITTEN string
+    (`binary.ts:85-89`, always ''), so its encoder cannot round-trip
+    its own decoder; this module implements the documented layout
+    (BINARY.md) that `Team.decode`/`Log.decode` actually read.
+  * index maps derive from the synthetic dims tables (1-based, table
+    order) — `@pkmn/engine`'s internal indexes are not part of this
+    corpus's data model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from itertools import chain
+
+from pyspark.sql import DataFrame, functions as F
+
+from stats_spark.datagen import dims
+
+# binary.ts:57 — bytes per team slot
+SIZES = {1: 5, 2: 7}
+
+# binary.ts:6-12
+END_NORMAL, END_TIE, END_FORFEIT, END_FORCED_WIN, END_FORCED_TIE = range(5)
+
+# binary.ts:228-232 — hidden-power type indexes (gen 2 type byte)
+HP_TYPES = ["fighting", "flying", "poison", "ground", "rock", "bug",
+            "ghost", "steel", "fire", "water", "grass", "electric",
+            "psychic", "ice", "dragon", "dark"]
+# typeByName('Normal') — not a hidden-power type; the engine indexes
+# Normal ahead of the HP types, so 0 is reserved for it and HP types
+# are 1-based here (a dims-side stand-in for Lookup.typeByName)
+TYPE_NUM = {"normal": 0, **{t: i + 1 for i, t in enumerate(HP_TYPES)}}
+
+
+def row_size(gen: int) -> int:
+    """db.ts:29 — 17 header bytes + two 6-slot teams."""
+    return 17 + 2 * 6 * SIZES[gen]
+
+
+def lookups() -> dict[str, dict[str, int]]:
+    """1-based id→index maps from the dims tables (0 = empty slot /
+    empty move / no item), the stand-in for `Lookup.get(gen)`
+    (db.ts:44).  'hiddenpower' is guaranteed a move index so the gen-2
+    rewrite (binary.ts:85-89) always resolves."""
+    species = {s: i + 1
+               for i, s in enumerate(dims.species_table()["species_id"])}
+    moves = {m: i + 1 for i, m in enumerate(dims.moves_table()["move_id"])}
+    if "hiddenpower" not in moves:
+        moves["hiddenpower"] = len(moves) + 1
+    items = {it: i + 1
+             for i, it in enumerate(dims.items_table()["item_id"])}
+    return {"species": species, "moves": moves, "items": items}
+
+
+# ---------------------------------------------------------------------
+# hex-expression builders (all JVM-side)
+
+def wall_clock_ms(t: F.Column) -> F.Column:
+    """Epoch milliseconds of the timestamp's WALL CLOCK read as UTC —
+    tz-independent for both TIMESTAMP and TIMESTAMP_NTZ columns
+    (to_date/hour/minute/second all render the stored wall clock in
+    the session zone, so the components cancel the zone; `unix_millis`
+    would not).  Matches DuckDB's `epoch_ms(ts)` over the same naive
+    parquet micros regardless of the driver session's timezone."""
+    secs = (F.unix_date(F.to_date(t)).cast("long") * 86400
+            + F.hour(t).cast("long") * 3600
+            + F.minute(t).cast("long") * 60 + F.second(t).cast("long"))
+    return secs * 1000 + F.date_format(t, "SSS").cast("long")
+
+
+def _map_expr(mapping: dict[str, int]) -> F.Column:
+    """Literal map id→index (tiny dimension, rides the query plan the
+    way the reference ships `Lookup`'s arrays)."""
+    return F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v))
+                             for k, v in sorted(mapping.items())))
+
+
+def _u_le_hex(col: F.Column, n_bytes: int) -> F.Column:
+    """Little-endian unsigned int → 2·n hex chars, one byte at a time:
+    lpad(hex((x >> 8i) & 255)) for i = 0..n-1."""
+    parts = [
+        F.lpad(F.lower(F.hex(F.shiftright(col.cast("long"), 8 * i)
+                             .bitwiseAND(F.lit(255)))), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def _zero_hex(n_bytes: int) -> F.Column:
+    return F.lit("00" * n_bytes)
+
+
+def _rating_hex(rpr: F.Column, rprd: F.Column) -> F.Column:
+    """binary.ts:175-182 — 3 bytes (u16 rpr + u8 rprd) when a rating
+    exists, else zeros.  rprd is masked to a byte (Buffer.writeUInt8
+    range)."""
+    return F.when(
+        rpr.isNotNull(),
+        F.concat(_u_le_hex(F.round(rpr), 2),
+                 _u_le_hex(F.round(rprd).cast("long")
+                           .bitwiseAND(F.lit(255)), 1)),
+    ).otherwise(_zero_hex(3))
+
+
+def _move_hex(mon, j: int, moves_map: F.Column, gen: int) -> F.Column:
+    mv = F.try_element_at(mon.getField("moves"), F.lit(j + 1))
+    if gen >= 2:
+        # gen-2 hidden power collapses to the base move id; the type
+        # rides in the trailing type byte (binary.ts:84-91 intent)
+        mv = F.when(mv.startswith("hiddenpower"),
+                    F.lit("hiddenpower")).otherwise(mv)
+    return F.when(mv.isNull(), F.lit("00")) \
+            .otherwise(_u_le_hex(F.coalesce(
+                F.try_element_at(moves_map, mv), F.lit(0)), 1))
+
+
+def _hp_type_hex(mon) -> F.Column:
+    """Gen-2 trailing type byte: the hidden-power type carried by any
+    hiddenpower<type> move, else Normal (= 0)."""
+    hp = F.filter(mon.getField("moves"),
+                  lambda m: m.startswith("hiddenpower") & (m != "hiddenpower"))
+    t = F.substring(F.try_element_at(hp, F.lit(1)), len("hiddenpower") + 1, 99)
+    type_map = _map_expr(TYPE_NUM)
+    return F.when(
+        F.size(hp) > 0,
+        _u_le_hex(F.coalesce(F.try_element_at(type_map, t), F.lit(0)), 1),
+    ).otherwise(F.lit("00"))
+
+
+def _mon_hex(team: F.Column, slot: int, maps: dict, gen: int) -> F.Column:
+    mon = F.try_element_at(team, F.lit(slot + 1))
+    sp = _u_le_hex(F.coalesce(
+        F.try_element_at(maps["species"], mon.getField("species")), F.lit(0)), 1)
+    mvs = [_move_hex(mon, j, maps["moves"], gen) for j in range(4)]
+    if gen == 1:
+        body = F.concat(sp, *mvs)
+    else:
+        item = mon.getField("item")
+        it = F.when(item.isNull() | (item == "nothing"), F.lit("00")) \
+              .otherwise(_u_le_hex(F.coalesce(
+                  F.try_element_at(maps["items"], item), F.lit(0)), 1))
+        body = F.concat(sp, it, *mvs, _hp_type_hex(mon))
+    return F.when(mon.isNull(), _zero_hex(SIZES[gen])).otherwise(body)
+
+
+def _team_hex(team: F.Column, maps: dict, gen: int) -> F.Column:
+    return F.concat(*[_mon_hex(team, s, maps, gen) for s in range(6)])
+
+
+def _end_type_expr(winner: F.Column, end_type: F.Column | None) -> F.Column:
+    """binary.ts:162-172, branch for branch: tie when no/tie winner;
+    'forced' upgrades NORMAL→FORCED_WIN and TIE→FORCED_TIE; 'forfeit'
+    is FORFEIT regardless."""
+    tie = winner.isNull() | (winner == "tie") | (winner == "")
+    base = F.when(tie, F.lit(END_TIE)).otherwise(F.lit(END_NORMAL))
+    if end_type is None:
+        return base
+    return (F.when(end_type == "forfeit", F.lit(END_FORFEIT))
+             .when((end_type == "forced") & tie, F.lit(END_FORCED_TIE))
+             .when(end_type == "forced", F.lit(END_FORCED_WIN))
+             .otherwise(base))
+
+
+def encode_logs(battles: DataFrame, gen: int = 1) -> DataFrame:
+    """Battles frame → (conv_id, ts_ms, row_hex, row) with `row` the
+    fixed-width `Binary.Log` record (binary.ts:148-190).  Winner side
+    first; a tie (or missing winner) keeps p1 as 'winner'
+    (binary.ts:160-161)."""
+    if gen not in SIZES:
+        raise ValueError(f"Unsupported gen {gen}")  # binary.ts:156
+    maps = {k: _map_expr(v) for k, v in lookups().items()}
+    # the parse stage normalizes winner to p1/p2/tie (P2); raw frames
+    # may still carry the player name (binary.ts:160 compares names)
+    w_is_p2 = F.col("winner") == "p2"
+    if "p2_name" in battles.columns:
+        w_is_p2 = w_is_p2 | (F.col("winner") == F.col("p2_name"))
+    end_col = F.col("end_type") if "end_type" in battles.columns else None
+
+    def side(field: str) -> F.Column:  # winner-relative column pick
+        p1, p2 = F.col(f"p1_{field}"), F.col(f"p2_{field}")
+        return F.when(w_is_p2, p2).otherwise(p1)
+
+    def other(field: str) -> F.Column:
+        p1, p2 = F.col(f"p1_{field}"), F.col(f"p2_{field}")
+        return F.when(w_is_p2, p1).otherwise(p2)
+
+    row_hex = F.concat(
+        _u_le_hex(wall_clock_ms(F.col("ts")), 8),
+        _u_le_hex(F.col("turns"), 2),
+        _u_le_hex(_end_type_expr(F.col("winner"), end_col), 1),
+        _rating_hex(side("rpr"), side("rprd")),
+        _rating_hex(other("rpr"), other("rprd")),
+        _team_hex(side("team"), maps, gen),
+        _team_hex(other("team"), maps, gen),
+    )
+    return (battles
+            .withColumn("ts_ms", wall_clock_ms(F.col("ts")))
+            .withColumn("row_hex", row_hex)
+            .withColumn("row", F.unhex(row_hex))
+            .select("conv_id", "ts_ms", "row_hex", "row"))
+
+
+# ---------------------------------------------------------------------
+# the ts-sorted sink (W9 + S8)
+
+def write_db(encoded: DataFrame, out_dir: str, gen: int = 1,
+             n_files: int = 4) -> dict:
+    """Range-partition on ts_ms + sort within partitions, then stream
+    each partition's rows into a raw fixed-width `part-NNNNN.db` file;
+    concatenating the parts in name order reproduces `db.ts:79-84`'s
+    single sorted `.db` stream.  Returns the manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    size = row_size(gen)
+    sorted_df = (encoded.select("ts_ms", "row")
+                 .repartitionByRange(n_files, "ts_ms")
+                 .sortWithinPartitions("ts_ms"))
+
+    def dump(batches):
+        from pyspark import TaskContext
+        import pandas as pd
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.db")
+        n, lo, hi = 0, None, None
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for b in pdf["row"]:
+                    f.write(b)
+                n += len(pdf)
+                if len(pdf):
+                    lo = int(pdf["ts_ms"].iloc[0]) if lo is None else lo
+                    hi = int(pdf["ts_ms"].iloc[-1])
+        if n == 0:
+            os.unlink(path)
+            return
+        yield pd.DataFrame([dict(part=pid, path=path, rows=n,
+                                 min_ts=lo, max_ts=hi)])
+
+    manifest = sorted(
+        (r.asDict() for r in sorted_df.mapInPandas(
+            dump, "part int, path string, rows long, min_ts long, "
+                  "max_ts long").collect()),
+        key=lambda m: m["part"])
+    meta = dict(gen=gen, row_size=size, parts=manifest,
+                rows=sum(m["rows"] for m in manifest))
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def concat_db(out_dir: str, db_path: str) -> int:
+    """Merge the sorted part files into the reference's single `.db`
+    stream (db.ts:79-84); returns bytes written."""
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        meta = json.load(f)
+    n = 0
+    with open(db_path, "wb") as out:
+        for m in meta["parts"]:
+            with open(m["path"], "rb") as src:
+                n += out.write(src.read())
+    return n
+
+
+# ---------------------------------------------------------------------
+# decoder (test-side; Binary.Log.decode / Team.decode, binary.ts:98-225)
+
+def decode_row(buf: bytes, gen: int = 1) -> dict:
+    lk = lookups()
+    r_species = {v: k for k, v in lk["species"].items()}
+    r_moves = {v: k for k, v in lk["moves"].items()}
+    r_items = {v: k for k, v in lk["items"].items()}
+    r_types = {v: k for k, v in TYPE_NUM.items()}
+
+    def u(off, n):
+        return int.from_bytes(buf[off:off + n], "little")
+
+    def team(off):
+        out, N = [], SIZES[gen]
+        for i in range(off, off + 6 * N, N):
+            if not buf[i]:
+                break  # binary.ts:107 — first empty slot ends the team
+            mon = {"species": r_species[buf[i]], "moves": []}
+            mv0 = i + (1 if gen == 1 else 2)
+            if gen >= 2:
+                mon["item"] = r_items.get(buf[i + 1])
+            for j in range(4):
+                b = buf[mv0 + j]
+                if not b:
+                    break
+                m = r_moves[b]
+                if m == "hiddenpower" and gen >= 2:
+                    m += r_types.get(buf[i + 6], "")
+                mon["moves"].append(m)
+            out.append(mon)
+        return out
+
+    N = 6 * SIZES[gen]
+    d = dict(ts_ms=u(0, 8), turns=u(8, 2), end_type=buf[10],
+             winner=dict(team=team(17)), loser=dict(team=team(17 + N)))
+    if u(11, 2):
+        d["winner"]["rating"] = dict(rpr=u(11, 2), rprd=buf[13])
+    if u(14, 2):
+        d["loser"]["rating"] = dict(rpr=u(14, 2), rprd=buf[16])
+    return d
+
+
+def read_db(db_path: str, gen: int = 1) -> list[dict]:
+    size = row_size(gen)
+    out = []
+    with open(db_path, "rb") as f:
+        data = f.read()
+    for i in range(0, len(data), size):
+        out.append(decode_row(data[i:i + size], gen))
+    return out

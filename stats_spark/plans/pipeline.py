@@ -264,7 +264,9 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                     seconds=0.0, skipped=True) for s in (sinks or SINKS)
                if s in done]
 
+    t_cache = t_sinks = 0.0
     if todo or "rejects" not in done:
+        t1 = time.time()
         frames = build_frames(spark, battles, cutoffs, cache=True)
         # materialize the shared cached intermediates once, up front —
         # the parallel sink writers then all hit the cache instead of
@@ -278,6 +280,8 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         if rest:
             with ThreadPoolExecutor(max_workers=len(rest)) as pool:
                 list(pool.map(lambda d: d.count(), rest))
+        t_cache = time.time() - t1
+        t2 = time.time()
 
         def write_one(sink: str) -> dict:
             ts = time.time()
@@ -317,5 +321,7 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
             metrics.append(dict(partition="rejects",
                                 path=os.path.join(out_dir, "rejects"),
                                 rows=-1, seconds=0.0, skipped=True))
+        t_sinks = time.time() - t2
     return dict(seconds=time.time() - t0, parse_seconds=round(t_parse, 2),
-                sinks=metrics)
+                cache_seconds=round(t_cache, 2),
+                sink_seconds=round(t_sinks, 2), sinks=metrics)

@@ -170,6 +170,24 @@ def monthly_usage(battles: DataFrame, cutoff: int = 1630,
 
     ok = (battles.filter(F.col("error").isNull())
           .filter(strip_suffix("format").isin(TIER_FORMATS)))
+    # report battle count n — EXACTLY what the reference's written
+    # report carries in its 'Total battles' line (stats.ts:175-209):
+    # short battles never count, and in singles formats a battle only
+    # counts when updateLeads succeeded (both leads non-empty,
+    # stats.ts:541).  Computed from the compact battles frame BEFORE
+    # the side explode; one extra tiny aggregation.
+    singles_b = ~F.col("format").isin(sorted(dims.NON_SINGLES_FORMATS))
+    short_b = (~F.col("format").isin(sorted(dims.NON_6V6_FORMATS))
+               & ((F.col("turns") < 2)
+                  | ((F.col("turns") < 3) & singles_b)))
+    leads_ok = (F.col("lead_p1").isNotNull() & F.col("lead_p2").isNotNull()
+                & (F.col("lead_p1") != "empty")
+                & (F.col("lead_p2") != "empty"))
+    n_df = (ok.withColumn("month",
+                          F.pmod(md5_long("conv_id"), F.lit(n_months)))
+            .filter(~short_b & (leads_ok | ~singles_b))
+            .groupBy("month", "format")
+            .agg(F.count("*").alias("n")))
     sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
     mons = (sides
             .withColumn("month", F.pmod(md5_long("conv_id"), F.lit(n_months)))
@@ -180,14 +198,16 @@ def monthly_usage(battles: DataFrame, cutoff: int = 1630,
             .withColumn("cutoff", F.lit(float(cutoff)))
             .withColumn("weight",
                         weighting_expr("eff_rpr", "eff_rprd", "cutoff")))
-    # per (month, SUFFIXED format) report: species weights, weight
-    # total, and battle count n — all in one shuffle keyed by the
-    # suffixed format, then suffixes collapse into the base rung
+    # per (month, SUFFIXED format) report: species weights and weight
+    # total in one shuffle keyed by the suffixed format (battle count
+    # n joins in from the pre-explode frame above), then suffixes
+    # collapse into the base rung
     per = (mons.groupBy("month", "format", "species")
            .agg(F.sum("weight").alias("w")))
     tot = (mons.groupBy("month", "format")
-           .agg(F.greatest(F.lit(1.0), F.sum("weight")).alias("total"),
-                (F.countDistinct("conv_id")).alias("n")))
+           .agg(F.greatest(F.lit(1.0), F.sum("weight")).alias("total"))
+           .join(n_df, ["month", "format"], "left")
+           .na.fill(0, ["n"]))
     frac = (per.join(tot, ["month", "format"])
             .withColumn("frac", F.col("w") / F.col("total") * 6)
             .withColumn("base_format", strip_suffix("format")))

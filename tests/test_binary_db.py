@@ -1,0 +1,197 @@
+"""S8 — fixed-width binary DB sink (BINARY.md:15-31, binary.ts,
+workflows/pkmn/db.ts).  Layout pinned byte-for-byte against
+hand-computed buffers, round-tripped through the decoder, and the
+range-partitioned sink checked for global timestamp order."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from stats_spark.operators import binary_db as B
+
+UTC = dt.timezone.utc
+
+
+def _team(*mons):
+    out = []
+    for m in mons:
+        out.append(dict(
+            slot=len(out) + 1, species=m["species"],
+            item=m.get("item", "nothing"), ability="steadfastcore",
+            nature="hardy", moves=m.get("moves", []), level=100,
+            happiness=255, tera_type=None, turns_out=1, kos=0,
+            **{f"ev_{k}": 0 for k in ("hp", "atk", "def", "spa",
+                                      "spd", "spe")},
+            **{f"iv_{k}": 31 for k in ("hp", "atk", "def", "spa",
+                                       "spd", "spe")}))
+    return out
+
+
+TEAM_FIELDS = (
+    "slot:int,species:string,item:string,ability:string,nature:string,"
+    "moves:array<string>,level:int,happiness:int,tera_type:string,"
+    "turns_out:int,kos:int,"
+    "ev_hp:int,ev_atk:int,ev_def:int,ev_spa:int,ev_spd:int,ev_spe:int,"
+    "iv_hp:int,iv_atk:int,iv_def:int,iv_spa:int,iv_spd:int,iv_spe:int"
+)
+SCHEMA = (
+    "conv_id string, ts timestamp, turns int, winner string, "
+    "end_type string, p1_name string, p2_name string, "
+    "p1_rpr double, p1_rprd double, p2_rpr double, p2_rprd double, "
+    f"p1_team array<struct<{TEAM_FIELDS}>>, "
+    f"p2_team array<struct<{TEAM_FIELDS}>>"
+)
+
+
+def _battles(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _row(conv_id, ts_ms, winner="alice", end_type="normal",
+         p1_rating=(1702.5, 33.4), p2_rating=(1650.0, 40.0),
+         p1=None, p2=None, turns=17):
+    lk = B.lookups()
+    sp = sorted(lk["species"])
+    mv = sorted(lk["moves"])
+    p1 = p1 if p1 is not None else _team(
+        dict(species=sp[0], moves=[mv[0], mv[1]]))
+    p2 = p2 if p2 is not None else _team(dict(species=sp[1], moves=[mv[2]]))
+    ts = dt.datetime.fromtimestamp(ts_ms / 1000, tz=UTC).replace(tzinfo=None)
+    return (conv_id, ts, turns, winner, end_type, "alice", "bob",
+            float(p1_rating[0]) if p1_rating else None,
+            float(p1_rating[1]) if p1_rating else None,
+            float(p2_rating[0]) if p2_rating else None,
+            float(p2_rating[1]) if p2_rating else None, p1, p2)
+
+
+def test_gen1_layout_exact(spark):
+    """Every header offset of BINARY.md's table, against bytes built
+    by hand (LE fields, winner side first)."""
+    lk = B.lookups()
+    sp = sorted(lk["species"])
+    mv = sorted(lk["moves"])
+    ts_ms = 1717200000123
+    df = _battles(spark, [_row("c1", ts_ms)])
+    row = bytes(B.encode_logs(df, gen=1).collect()[0].row)
+
+    assert len(row) == B.row_size(1) == 77
+    assert int.from_bytes(row[0:8], "little") == ts_ms
+    assert int.from_bytes(row[8:10], "little") == 17          # turns
+    assert row[10] == B.END_NORMAL
+    # winner = alice = p1: rpr 1703 (rounded), rprd 33
+    assert int.from_bytes(row[11:13], "little") == 1703
+    assert row[13] == 33
+    assert int.from_bytes(row[14:16], "little") == 1650
+    assert row[16] == 40
+    # winner team slot 0: species + 2 moves + zero-padding
+    assert row[17] == lk["species"][sp[0]]
+    assert row[18] == lk["moves"][mv[0]]
+    assert row[19] == lk["moves"][mv[1]]
+    assert row[20] == 0 and row[21] == 0
+    assert row[22:47] == bytes(25)                            # empty slots
+    # loser team block starts at 17 + 30
+    assert row[47] == lk["species"][sp[1]]
+    assert row[48] == lk["moves"][mv[2]]
+    assert row[49:77] == bytes(28)
+
+
+def test_winner_side_first_and_tie(spark):
+    """binary.ts:160-161 — p2 win swaps the rating/team blocks; a tie
+    keeps p1 first and sets END_TIE."""
+    df = _battles(spark, [_row("w2", 1000, winner="bob"),
+                          _row("tie", 2000, winner="tie")])
+    rows = {r.conv_id: bytes(r.row)
+            for r in B.encode_logs(df, gen=1).collect()}
+    w2 = rows["w2"]
+    assert w2[10] == B.END_NORMAL
+    assert int.from_bytes(w2[11:13], "little") == 1650        # bob's rpr
+    assert int.from_bytes(w2[14:16], "little") == 1703
+    tie = rows["tie"]
+    assert tie[10] == B.END_TIE
+    assert int.from_bytes(tie[11:13], "little") == 1703       # p1 first
+
+
+def test_end_types(spark):
+    """binary.ts:162-172: forfeit wins over everything; forced
+    upgrades normal→forced-win and tie→forced-tie."""
+    df = _battles(spark, [
+        _row("ff", 1, end_type="forfeit"),
+        _row("fw", 2, end_type="forced"),
+        _row("ft", 3, end_type="forced", winner="tie"),
+    ])
+    got = {r.conv_id: bytes(r.row)[10]
+           for r in B.encode_logs(df, gen=1).collect()}
+    assert got == {"ff": B.END_FORFEIT, "fw": B.END_FORCED_WIN,
+                   "ft": B.END_FORCED_TIE}
+
+
+def test_missing_rating_is_zero(spark):
+    df = _battles(spark, [_row("nr", 1, p1_rating=None)])
+    row = bytes(B.encode_logs(df, gen=1).collect()[0].row)
+    assert row[11:14] == bytes(3)
+    assert int.from_bytes(row[14:16], "little") == 1650
+
+
+def test_gen2_layout_and_hidden_power(spark):
+    """Gen-2 slots carry item + trailing hidden-power type byte
+    (BINARY.md:58-74); hiddenpower<type> moves collapse to the base
+    move id with the type in the trailer (binary.ts:84-91 intent —
+    the reference's own charAt(11)-after-rewrite bug is NOT
+    reproduced, see module docstring)."""
+    lk = B.lookups()
+    sp = sorted(lk["species"])
+    mv = sorted(lk["moves"])
+    it = sorted(lk["items"])
+    team = _team(dict(species=sp[2], item=it[0],
+                      moves=[mv[0], "hiddenpowerfire"]))
+    df = _battles(spark, [_row("g2", 5, p1=team)])
+    row = bytes(B.encode_logs(df, gen=2).collect()[0].row)
+    assert len(row) == B.row_size(2) == 101
+    assert row[17] == lk["species"][sp[2]]
+    assert row[18] == lk["items"][it[0]]
+    assert row[19] == lk["moves"][mv[0]]
+    assert row[20] == lk["moves"]["hiddenpower"]
+    assert row[21] == 0 and row[22] == 0
+    assert row[23] == B.TYPE_NUM["fire"]
+    # no hidden power → Normal (0) trailer; item 'nothing' → 0
+    mon2 = 17 + 7
+    assert row[mon2 + 1] == 0
+
+
+def test_round_trip_decode(spark):
+    df = _battles(spark, [_row("rt", 1717200000123)])
+    enc = B.encode_logs(df, gen=1).collect()[0]
+    d = B.decode_row(bytes(enc.row), gen=1)
+    lk = B.lookups()
+    sp, mv = sorted(lk["species"]), sorted(lk["moves"])
+    assert d["ts_ms"] == 1717200000123 and d["turns"] == 17
+    assert d["winner"]["rating"] == dict(rpr=1703, rprd=33)
+    assert d["winner"]["team"] == [dict(species=sp[0],
+                                        moves=[mv[0], mv[1]])]
+    assert d["loser"]["team"] == [dict(species=sp[1], moves=[mv[2]])]
+
+
+def test_write_db_globally_sorted(spark, tmp_path):
+    """The range-partitioned sink: part files concatenate (manifest
+    order) into one non-decreasing ts stream — db.ts:70-84's sorted
+    merge, distributed."""
+    rows = [_row(f"c{i}", ts_ms)
+            for i, ts_ms in enumerate([5000, 1000, 9000, 3000, 7000,
+                                       2000, 8000, 4000, 6000, 500])]
+    enc = B.encode_logs(_battles(spark, rows), gen=1)
+    out = str(tmp_path / "gen1ou")
+    meta = B.write_db(enc, out, gen=1, n_files=3)
+    assert meta["rows"] == 10 and meta["row_size"] == 77
+    # parts are disjoint, ordered ranges
+    parts = meta["parts"]
+    assert all(p["min_ts"] <= p["max_ts"] for p in parts)
+    assert all(parts[i]["max_ts"] <= parts[i + 1]["min_ts"]
+               for i in range(len(parts) - 1))
+    db = str(tmp_path / "gen1ou.db")
+    assert B.concat_db(out, db) == 10 * 77
+    ts = [d["ts_ms"] for d in B.read_db(db, gen=1)]
+    assert ts == sorted(ts)
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        assert json.load(f)["rows"] == 10
