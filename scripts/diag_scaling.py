@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 EVDIR = "/tmp/spark-events"
 
 
-def run(n_exec: int, n_convs: int, mem_mb: int) -> None:
+def run(n_exec: int, n_convs: int, mem_mb: int, cores: int = 2) -> None:
     os.makedirs(EVDIR, exist_ok=True)
     from pyspark.sql import SparkSession
     from stats_spark.session import SQL_CONF
@@ -26,7 +26,7 @@ def run(n_exec: int, n_convs: int, mem_mb: int) -> None:
     from stats_spark.plans import pipeline
     corpus.TIERS["bench"] = n_convs
     b = (SparkSession.builder
-         .master(f"local-cluster[{n_exec},2,{mem_mb}]")
+         .master(f"local-cluster[{n_exec},{cores},{mem_mb}]")
          .appName(f"diag-{n_exec}x")
          .config("spark.driver.memory", "8g")
          .config("spark.executor.memory", f"{mem_mb}m")
@@ -114,4 +114,5 @@ if __name__ == "__main__":
     n_exec = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     mem = int(sys.argv[3]) if len(sys.argv) > 3 else 24576
-    run(n_exec, n_convs, mem)
+    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    run(n_exec, n_convs, mem, cores)

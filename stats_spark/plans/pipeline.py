@@ -115,13 +115,36 @@ def battles_weighted(battles: DataFrame,
 
 def build_frames(spark: SparkSession, battles: DataFrame,
                  cutoffs=dims.DEFAULT_CUTOFFS,
-                 cache: bool = False) -> dict:
+                 cache: bool = False,
+                 stage_dir: str | None = None) -> dict:
     """All aggregate DataFrames (lazy) from a parsed battles frame.
 
     ``cache=True`` persists the three shared intermediates (the pruned
     enriched mons, side_class, battles_w) — every sink reuses them
     instead of re-running the enrichment; use when materializing
-    several sinks in one job."""
+    several sinks in one job.
+
+    ``stage_dir`` switches to STAGED materialization: each shared
+    intermediate is written to parquet under ``stage_dir`` (eagerly, at
+    build time) and re-read, so every sink job is a cheap columnar
+    scan + aggregate with no dependence on executor-memory cache
+    locality.  This is the cluster-scale path: cached blocks live on
+    specific executors, and 11 concurrent sink jobs racing over 8+
+    executors schedule tasks non-local to the blocks, stalling on
+    remote block fetch or recompute of the pandas-UDF enrichment
+    lineage.  Parquet staging makes the expensive enrichment run
+    exactly once regardless of topology — the same reason the
+    reference checkpoints its per-format intermediates to disk
+    (logs/src/checkpoints.ts) rather than holding them in memory."""
+    stage = None
+    if stage_dir is not None:
+        cache = False
+
+        def stage(df: DataFrame, name: str) -> DataFrame:
+            path = os.path.join(stage_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
     ok = enrich.accepted_battles(battles)
     # battles is compact on disk (a 150k-conversation checkpoint is a
     # few dozen MB) so the scan yields only 1-2 input partitions — but
@@ -143,9 +166,13 @@ def build_frames(spark: SparkSession, battles: DataFrame,
         *[f"w_{w}" for w in ("rain", "sun", "sand", "hail")], *_COUNTERS)
     if cache:
         mons = mons.cache()
+    elif stage:
+        mons = stage(mons, "mons")
     side_class = enrich.classify_sides(mons)
     if cache:
         side_class = side_class.cache()
+    elif stage:
+        side_class = stage(side_class, "side_class")
 
     # side tags ride along on every mon row so the A13 tag fan-out is a
     # plain explode downstream (single pass for total + all tag shards)
@@ -155,20 +182,32 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     sides_w = enrich.with_weight(enrich.explode_cutoffs(
         sides.join(side_class, ["conv_id", "side"]), cutoffs))
     battles_w = battles_weighted(ok, cutoffs)
-    if cache:
-        # second-level cache: the ×cutoffs frames every sink consumes —
+    if cache or stage:
+        # second level: the ×cutoffs frames every sink consumes —
         # pruned to the aggregate columns (the full frame is ~45 cols)
         mons_w = mons_w.select(
             "format", "cutoff", "species", "player", "weight",
             "rating_valid", "short", "outcome", "turns_out", "gxe",
             "ability", "item", "tera_type", "happiness", "spread",
-            "stats_str", "moves", "tags").cache()
+            "stats_str", "moves", "tags")
         sides_w = sides_w.select(
             "conv_id", "format", "cutoff", "side", "weight", "short",
-            "team", "team_size", "tags", "team_stalliness").cache()
+            "team", "team_size", "tags", "team_stalliness")
         battles_w = battles_w.select(
             "conv_id", "format", "cutoff", "short", "singles", "leads_ok",
-            "lead_p1", "lead_p2", "w_p1", "w_p2", "matchups").cache()
+            "lead_p1", "lead_p2", "w_p1", "w_p2", "matchups")
+        if cache:
+            mons_w, sides_w, battles_w = (
+                mons_w.cache(), sides_w.cache(), battles_w.cache())
+        else:
+            # independent Spark jobs over the already-staged inputs —
+            # submit concurrently so the executors stay saturated
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                mons_w, sides_w, battles_w = pool.map(
+                    lambda nd: stage(nd[1], nd[0]),
+                    [("mons_w", mons_w), ("sides_w", sides_w),
+                     ("battles_w", battles_w)])
 
     usage = agg.usage_by_species(mons_w)
     usage_tagged = agg.usage_by_species_tagged(agg.with_tag_dimension(mons_w))
@@ -224,7 +263,8 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                  sinks: list[str] | None = None,
                  count_rows: bool = True,
                  resume: bool = False,
-                 date: str | None = None) -> dict:
+                 date: str | None = None,
+                 materialize: str = "stage") -> dict:
     """Full job: scan → parse → enrich → aggregate → ROUTE to per-sink
     partitioned parquet trees + per-sink lineage records.
 
@@ -234,7 +274,14 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
     only missing/incomplete sinks are recomputed.
 
     ``date`` ('YYYY-MM') switches to the reference's date/format-
-    dependent cutoff sets (popular formats get [0,1500,1695,1825])."""
+    dependent cutoff sets (popular formats get [0,1500,1695,1825]).
+
+    ``materialize`` picks how the shared intermediates are held while
+    the 11 sinks consume them: ``"stage"`` (default) writes them to
+    parquet under ``out_dir/_stage`` — topology-independent, the
+    cluster-scale path; ``"cache"`` uses executor-memory caching —
+    marginally faster single-JVM, degrades under multi-executor
+    concurrent sinks (see build_frames)."""
     t0 = time.time()
     if date is not None:
         cutoffs = cutoff_map(date)
@@ -267,19 +314,27 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
     t_cache = t_sinks = 0.0
     if todo or "rejects" not in done:
         t1 = time.time()
-        frames = build_frames(spark, battles, cutoffs, cache=True)
-        # materialize the shared cached intermediates once, up front —
-        # the parallel sink writers then all hit the cache instead of
-        # racing to compute it.  The first-level caches (mons,
-        # side_class) build serially since everything depends on them;
-        # the three ×cutoff caches then materialize CONCURRENTLY
         from concurrent.futures import ThreadPoolExecutor
-        for df in frames["_cached"][:2]:
-            df.count()
-        rest = frames["_cached"][2:]
-        if rest:
-            with ThreadPoolExecutor(max_workers=len(rest)) as pool:
-                list(pool.map(lambda d: d.count(), rest))
+        if materialize == "stage":
+            # staged path: build_frames writes the shared intermediates
+            # to parquet eagerly; t_cache below is the staging time
+            frames = build_frames(spark, battles, cutoffs,
+                                  stage_dir=os.path.join(out_dir,
+                                                         "_stage"))
+        else:
+            frames = build_frames(spark, battles, cutoffs, cache=True)
+            # materialize the shared cached intermediates once, up
+            # front — the parallel sink writers then all hit the cache
+            # instead of racing to compute it.  The first-level caches
+            # (mons, side_class) build serially since everything
+            # depends on them; the three ×cutoff caches then
+            # materialize CONCURRENTLY
+            for df in frames["_cached"][:2]:
+                df.count()
+            rest = frames["_cached"][2:]
+            if rest:
+                with ThreadPoolExecutor(max_workers=len(rest)) as pool:
+                    list(pool.map(lambda d: d.count(), rest))
         t_cache = time.time() - t1
         t2 = time.time()
 
