@@ -20,8 +20,9 @@ EVDIR = "/tmp/spark-events"
 
 def run(n_exec: int, n_convs: int, mem_mb: int, cores: int = 2) -> None:
     os.makedirs(EVDIR, exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
     from pyspark.sql import SparkSession
-    from stats_spark.session import SQL_CONF
+    from stats_spark.session import SQL_CONF, EXECUTOR_JVM_FLAGS
     from stats_spark.datagen import corpus
     from stats_spark.plans import pipeline
     corpus.TIERS["bench"] = n_convs
@@ -31,6 +32,7 @@ def run(n_exec: int, n_convs: int, mem_mb: int, cores: int = 2) -> None:
          .config("spark.driver.memory", "8g")
          .config("spark.executor.memory", f"{mem_mb}m")
          .config("spark.local.dir", "/dev/shm/spark-local")
+         .config("spark.executor.extraJavaOptions", EXECUTOR_JVM_FLAGS)
          .config("spark.ui.enabled", "false")
          .config("spark.eventLog.enabled", "true")
          .config("spark.eventLog.dir", EVDIR)
@@ -54,15 +56,32 @@ def run(n_exec: int, n_convs: int, mem_mb: int, cores: int = 2) -> None:
     summarize(app_id)
 
 
+def _event_lines(app_id: str):
+    """Yield event-log JSON lines — handles both the flat v1 file and
+    the rolling v2 dir layout (events_*.zstd)."""
+    import io
+    import subprocess
+    flat = glob.glob(os.path.join(EVDIR, app_id) + "*")
+    v2 = sorted(glob.glob(os.path.join(EVDIR, f"eventlog_v2_{app_id}",
+                                       "events_*")))
+    for fn in v2 or [f for f in flat if os.path.isfile(f)]:
+        if fn.endswith(".zstd"):
+            raw = subprocess.run(["zstd", "-dc", fn],
+                                 capture_output=True).stdout
+            yield from io.TextIOWrapper(io.BytesIO(raw), encoding="utf-8")
+        else:
+            with open(fn) as f:
+                yield from f
+
+
 def summarize(app_id: str) -> None:
-    path = os.path.join(EVDIR, app_id)
-    cands = glob.glob(path + "*")
-    if not cands:
+    lines = list(_event_lines(app_id))
+    if not lines:
         print("no event log for", app_id)
         return
     stages = {}
-    with open(cands[0]) as f:
-        for line in f:
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:

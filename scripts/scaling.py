@@ -38,8 +38,12 @@ WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 n_exec, n_convs = int(sys.argv[1]), int(sys.argv[2])
+# local-cluster workers IGNORE spark.local.dir (cluster manager owns
+# it) — SPARK_LOCAL_DIRS env is what the executor JVMs actually honor.
+# /tmp here is an overlay fs that serializes concurrent writers.
+os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
 from pyspark.sql import SparkSession
-from stats_spark.session import SQL_CONF
+from stats_spark.session import SQL_CONF, EXECUTOR_JVM_FLAGS
 from stats_spark.datagen import corpus
 from stats_spark.plans import pipeline
 from stats_spark.sources import tables
@@ -51,6 +55,7 @@ b = (SparkSession.builder
      .config("spark.driver.memory", "8g")
      .config("spark.executor.memory", "%dm" % EXEC_MEM)
      .config("spark.local.dir", "/dev/shm/spark-local")
+     .config("spark.executor.extraJavaOptions", EXECUTOR_JVM_FLAGS)
      .config("spark.ui.enabled", "false")
      .config("spark.executorEnv.PYTHONPATH", "/root/repo")
      .config("spark.sql.shuffle.partitions", "32"))

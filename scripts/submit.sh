@@ -15,6 +15,7 @@ exec "$SPARK_SUBMIT" \
   --driver-memory "${STATS_SPARK_DRIVER_MEM:-8g}" \
   --conf "spark.sql.shuffle.partitions=$CPUS" \
   --conf "spark.local.dir=${STATS_SPARK_LOCAL_DIR:-/dev/shm/spark-local}" \
+  --conf "spark.executor.extraJavaOptions=-XX:-UseDynamicNumberOfCompilerThreads" \
   --conf "spark.ui.enabled=false" \
   --py-files "$ZIP" \
   "$REPO/scripts/run_job.py" "$@"

@@ -16,6 +16,17 @@ from pyspark.sql import SparkSession
 # SQL-layer settings shared by every launch path (local factory below
 # and spark-submit via get_submit_spark) — cluster topology (master,
 # memory, executor count) deliberately excluded: spark-submit owns it
+# Executor-JVM flags for multi-executor launches (spark-submit /
+# local-cluster).  JDK 17's UseDynamicNumberOfCompilerThreads spawns
+# JIT compiler threads on demand from queue-pressure heuristics; on
+# small executors (2 task threads) the heuristic can fail to ramp up
+# and the whole-stage-codegen classes then run INTERPRETED for the
+# executor's whole life — measured 10-20x CPU on the explode-heavy
+# aggregation stages here (204s -> 20s on an identical 4-executor
+# job once the static compiler pool is forced).  A static pool costs
+# only idle threads, so force it wherever we control executor launch.
+EXECUTOR_JVM_FLAGS = "-XX:-UseDynamicNumberOfCompilerThreads"
+
 SQL_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
