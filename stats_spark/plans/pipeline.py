@@ -143,7 +143,17 @@ def build_frames(spark: SparkSession, battles: DataFrame,
         def stage(df: DataFrame, name: str) -> DataFrame:
             path = os.path.join(stage_dir, name)
             df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
+            rd = spark.read.parquet(path)
+            # a compact staged frame (few dozen MB) packs into 1-2 scan
+            # splits under maxPartitionBytes, and the explode-heavy
+            # consumers then run their whole pre-shuffle CPU on one
+            # task.  Re-spread cheap bytes up to the cluster's
+            # parallelism; at real scale the frames exceed
+            # parallelism × maxPartitionBytes and this is a no-op.
+            par = spark.sparkContext.defaultParallelism
+            if rd.rdd.getNumPartitions() < par:
+                rd = rd.repartition(par)
+            return rd
 
     ok = enrich.accepted_battles(battles)
     # battles is compact on disk (a 150k-conversation checkpoint is a
