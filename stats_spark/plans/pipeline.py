@@ -141,9 +141,13 @@ def build_frames(spark: SparkSession, battles: DataFrame,
         cache = False
 
         def stage(df: DataFrame, name: str) -> DataFrame:
+            ts = time.time()
             path = os.path.join(stage_dir, name)
             df.write.mode("overwrite").parquet(path)
             rd = spark.read.parquet(path)
+            if os.environ.get("STATS_SPARK_STAGE_TIMING"):
+                print(f"STAGE_TIMING {name} {time.time() - ts:.1f}s",
+                      flush=True)
             # a compact staged frame (few dozen MB) packs into 1-2 scan
             # splits under maxPartitionBytes, and the explode-heavy
             # consumers then run their whole pre-shuffle CPU on one

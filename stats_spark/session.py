@@ -35,6 +35,20 @@ SQL_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Scan-split sizing. The pipeline's intermediates (battles
+    # checkpoint, staged frames) are COMPACT by bytes — tens of MB
+    # compressed — but expensive to decode (nested team/matchup
+    # structs) and they fan out ×12-48 downstream.  Under the 128 MB
+    # default + 4 MB open-cost packing, a whole intermediate collapses
+    # into 1-2 scan splits, so every consumer job starts with a
+    # single-task decode — a serial stage that caps N→4N scaling
+    # (measured: ~167 s of the staging phase was core-count-invariant
+    # at sf-bench scale).  Size splits so a scan yields at least a few
+    # tasks per core at this deployment's data:core ratio; a 100 TB
+    # deployment re-raises these via spark-submit --conf (the defaults
+    # there are right: 6M splits would drown the scheduler).
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
 }
 
 
@@ -89,6 +103,13 @@ def get_spark(
         # local NVMe (spark.local.dir set by the cluster manager).
         .config("spark.local.dir",
                 os.environ.get("STATS_SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
+        # local mode runs all executor code in the driver JVM, so the
+        # static-JIT-pool fix (see EXECUTOR_JVM_FLAGS) must be applied
+        # here too — without it the same dynamic-compiler-thread
+        # heuristic stochastically leaves whole-stage-codegen classes
+        # interpreted for the JVM's life (2-4x phase blow-ups measured
+        # on identical local[8] runs)
+        .config("spark.driver.extraJavaOptions", EXECUTOR_JVM_FLAGS)
     )
     for k, v in SQL_CONF.items():
         builder = builder.config(k, v)
