@@ -81,7 +81,9 @@ def main():
     from stats_spark.session import get_spark
     from stats_spark.datagen import corpus
     corpus.TIERS["bench"] = n_convs
-    spark = get_spark("scale-gen", cores=high)
+    # generation is setup, not measurement — use the whole machine
+    gen_cores = max(high, os.cpu_count() or high)
+    spark = get_spark("scale-gen", cores=gen_cores)
     spark.sparkContext.setLogLevel("ERROR")
     corpus.ensure_corpus("bench", spark=spark)
     spark.stop()
@@ -89,8 +91,12 @@ def main():
     # this host has heavy run-to-run noise (noisy neighbors): take the
     # best of N identical runs per level — min is the least-noise sample
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
-    runs_low = [run_level(low, n_convs) for _ in range(repeats)]
-    runs_high = [run_level(high, n_convs) for _ in range(repeats)]
+    # interleave the levels (low,high,low,high,...) so a sustained
+    # noisy-neighbor burst cannot contaminate every sample of one level
+    runs_low, runs_high = [], []
+    for _ in range(repeats):
+        runs_low.append(run_level(low, n_convs))
+        runs_high.append(run_level(high, n_convs))
     r_low = min(runs_low, key=lambda r: r["seconds"])
     r_high = min(runs_high, key=lambda r: r["seconds"])
     eff = round((r_low["seconds"] / r_high["seconds"]) / (high / low), 3)
