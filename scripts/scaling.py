@@ -87,6 +87,18 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     corpus.ensure_corpus("bench", spark=spark)
     spark.stop()
+    # spark.stop() leaves the Py4J gateway JVM alive (~0.3-0.5 cores of
+    # GC/idle threads for the rest of the protocol) — kill it so the
+    # measured runs share the machine with nothing
+    try:
+        SparkSession._instantiatedSession = None
+        from pyspark import SparkContext
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass
 
     # this host has heavy run-to-run noise (noisy neighbors): take the
     # best of N identical runs per level — min is the least-noise sample
