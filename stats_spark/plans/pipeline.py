@@ -165,6 +165,24 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     # each row fans out ×48 downstream (2 sides × 6 mons × 4 cutoffs).
     # Re-spread by bytes-cheap shuffle so every later stage parallelizes.
     ok = ok.repartition(battles.sparkSession.sparkContext.defaultParallelism * 2)
+
+    bw_future = None
+    if stage:
+        # battles_w derives from the battles checkpoint alone — no
+        # dependence on the enrichment lineage — so its staging write
+        # overlaps the mons/side_class staging instead of queueing
+        # behind it (measured: the old serial-then-barrier layout ran
+        # the staging phase at ~4.5 of 8 cores)
+        from concurrent.futures import ThreadPoolExecutor
+        _bw_pool = ThreadPoolExecutor(max_workers=1)
+        bw_future = _bw_pool.submit(
+            stage,
+            battles_weighted(ok, cutoffs).select(
+                "conv_id", "format", "cutoff", "short", "singles",
+                "leads_ok", "lead_p1", "lead_p2", "w_p1", "w_p2",
+                "matchups"),
+            "battles_w")
+
     sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
     # enrichment (stats + classifier columns) is the CPU-heavy stage;
     # prune it to the columns the aggregates consume and cache ONCE —
@@ -207,21 +225,22 @@ def build_frames(spark: SparkSession, battles: DataFrame,
         sides_w = sides_w.select(
             "conv_id", "format", "cutoff", "side", "weight", "short",
             "team", "team_size", "tags", "team_stalliness")
-        battles_w = battles_w.select(
-            "conv_id", "format", "cutoff", "short", "singles", "leads_ok",
-            "lead_p1", "lead_p2", "w_p1", "w_p2", "matchups")
         if cache:
+            battles_w = battles_w.select(
+                "conv_id", "format", "cutoff", "short", "singles",
+                "leads_ok", "lead_p1", "lead_p2", "w_p1", "w_p2",
+                "matchups")
             mons_w, sides_w, battles_w = (
                 mons_w.cache(), sides_w.cache(), battles_w.cache())
         else:
-            # independent Spark jobs over the already-staged inputs —
-            # submit concurrently so the executors stay saturated
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                mons_w, sides_w, battles_w = pool.map(
-                    lambda nd: stage(nd[1], nd[0]),
-                    [("mons_w", mons_w), ("sides_w", sides_w),
-                     ("battles_w", battles_w)])
+            # mons_w / sides_w are NOT staged: past the staged mons /
+            # side_class, the ×cutoff explode + erf weighting is pure
+            # whole-stage codegen — cheaper for each sink to recompute
+            # from the staged scans than to double-write ~1 GB of
+            # exploded parquet through a half-utilized serial barrier
+            # (measured: staging them ran the phase at ~4.5/8 cores)
+            battles_w = bw_future.result()
+            _bw_pool.shutdown(wait=False)
 
     usage = agg.usage_by_species(mons_w)
     usage_tagged = agg.usage_by_species_tagged(agg.with_tag_dimension(mons_w))

@@ -51,6 +51,11 @@ def test_stage_equals_cache(spark, both, sink):
 
 
 def test_stage_dir_holds_all_intermediates(spark, both):
+    # staged = the expensive-to-compute compact frames only; the
+    # ×cutoff explodes (mons_w / sides_w) are pure codegen past these
+    # scans and are deliberately recomputed per sink (see build_frames)
     sd = os.path.join(both["stage"], "_stage")
-    for name in ("mons", "side_class", "mons_w", "sides_w", "battles_w"):
+    for name in ("mons", "side_class", "battles_w"):
         assert os.path.exists(os.path.join(sd, name, "_SUCCESS")), name
+    for name in ("mons_w", "sides_w"):
+        assert not os.path.exists(os.path.join(sd, name)), name
