@@ -22,7 +22,7 @@ def run(n_exec: int, n_convs: int, mem_mb: int, cores: int = 2) -> None:
     os.makedirs(EVDIR, exist_ok=True)
     os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
     from pyspark.sql import SparkSession
-    from stats_spark.session import SQL_CONF, EXECUTOR_JVM_FLAGS
+    from stats_spark.session import SQL_CONF, LOCAL_SQL_CONF, EXECUTOR_JVM_FLAGS
     from stats_spark.datagen import corpus
     from stats_spark.plans import pipeline
     corpus.TIERS["bench"] = n_convs
@@ -38,7 +38,7 @@ def run(n_exec: int, n_convs: int, mem_mb: int, cores: int = 2) -> None:
          .config("spark.eventLog.dir", EVDIR)
          .config("spark.executorEnv.PYTHONPATH", "/root/repo")
          .config("spark.sql.shuffle.partitions", "32"))
-    for k, v in SQL_CONF.items():
+    for k, v in {**SQL_CONF, **LOCAL_SQL_CONF}.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,7 +46,8 @@ def run(n_exec: int, n_convs: int, mem_mb: int, cores: int = 2) -> None:
     c = corpus.ensure_corpus("bench")
     out = os.path.join(corpus.corpus_dir("bench"), f"diag_out_{n_exec}x")
     t0 = time.time()
-    m = pipeline.run_pipeline(spark, c, out, count_rows=False)
+    m = pipeline.run_pipeline(spark, c, out, count_rows=False,
+                          materialize="stage")
     dt = time.time() - t0
     spark.stop()
     print(json.dumps(dict(n_exec=n_exec, seconds=round(dt, 2),

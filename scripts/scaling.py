@@ -2,11 +2,36 @@
 
 No real cluster exists in this sandbox, so per the evidence protocol we
 run the identical pipeline job on the identical input at two
-parallelism levels (default local[8] vs local[32]) in fresh JVMs and
-report throughput at both plus efficiency = (T_low/T_high)/(cpus_high/
-cpus_low).  Results are written to BENCH.md.
+parallelism levels (default local[2] vs local[8]) in fresh JVMs and
+report throughput at both plus raw efficiency
+(T_low/T_high)/(cpus_high/cpus_low).
+
+Interference-gated protocol (this host has noisy neighbors AND
+shared-host frequency scaling):
+
+  * a CLOCK SENTINEL — equal pure-CPU work per process, no memory
+    traffic, no JVM — runs at BOTH concurrency levels immediately
+    before and after every measured leg;
+  * a leg is CLEAN only if all four bracketing sentinel readings are
+    within TOL (default 3%) of the session-best reading at that
+    concurrency, i.e. the leg ran in a window where the machine was as
+    fast as it ever was this session — loaded-window legs are
+    DISCARDED by protocol, not normalized after the fact;
+  * legs alternate low,high,low,high,… and the protocol keeps running
+    until ≥N_CLEAN (default 3) clean legs exist at BOTH levels (or the
+    wall-clock budget runs out, in which case whatever cleared the
+    gate is reported, with the shortfall disclosed);
+  * raw efficiency uses min-of-clean per level; every leg's sentinel
+    readings are published in BENCH.md.
+
+The hardware clock ceiling (session-best sentinel_low /
+sentinel_high) is still reported — it bounds any job's raw efficiency
+on a turbo host and is the figure a real N→4N scale-out (more hosts,
+constant clocks) does not pay — but the headline number is RAW.
 
 Usage: python scripts/scaling.py [n_convs] [low_cores] [high_cores]
+Env:   SCALING_N_CLEAN (3)  SCALING_TOL (0.03)
+       SCALING_BUDGET_S (7200)  SCALING_MAX_LEGS (12)
 """
 
 from __future__ import annotations
@@ -15,6 +40,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -35,26 +61,13 @@ c = corpus.ensure_corpus("bench", spark=spark)
 n_turns = tables.load_transcripts(spark, c).count()
 out = os.path.join(corpus.corpus_dir("bench"), f"scale_out_{cores}")
 t0 = time.time()
-m = pipeline.run_pipeline(spark, c, out, count_rows=False)
+m = pipeline.run_pipeline(spark, c, out, count_rows=False,
+                          materialize="stage")
 dt = time.time() - t0
 print(json.dumps(dict(cores=cores, seconds=round(dt, 2), turns=n_turns,
                       parse_seconds=m["parse_seconds"],
                       turns_per_sec=round(n_turns / dt, 1))))
 """
-
-
-def cpu_reference(procs: int) -> float:
-    """Per-core speed at this concurrency: wall time for EQUAL work per
-    process (pure CPU, no memory traffic).  On shared/turbo hosts,
-    low-concurrency runs get faster clocks — this measures that ceiling
-    so job scaling can be separated from hardware frequency scaling."""
-    import multiprocessing as mp
-    import time
-
-    with mp.Pool(procs) as p:
-        t0 = time.time()
-        p.map(_BURN, [30_000_000] * procs)
-        return time.time() - t0
 
 
 def _BURN(n):
@@ -64,102 +77,182 @@ def _BURN(n):
     return s
 
 
+def cpu_reference(procs: int, n: int = 30_000_000) -> float:
+    """Per-core speed at this concurrency: wall time for EQUAL work per
+    process (pure CPU, no memory traffic).  Sensitive to both neighbor
+    load (stolen cycles) and shared/turbo frequency scaling."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        t0 = time.time()
+        p.map(_BURN, [n] * procs)
+        return time.time() - t0
+
+
+def sentinel(low: int, high: int) -> dict:
+    """One bracketing sample: sentinel wall time at each level (best of
+    2 back-to-back runs — a single sample can eat one scheduler hiccup)."""
+    return {
+        "low": round(min(cpu_reference(low) for _ in range(2)), 3),
+        "high": round(min(cpu_reference(high) for _ in range(2)), 3),
+    }
+
+
 def run_level(cores: int, n_convs: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(n_convs)],
-        capture_output=True, text=True, timeout=3600)
+        capture_output=True, text=True, timeout=7200)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
 
-def main():
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+def shutdown_gateway():
+    """spark.stop() leaves the Py4J gateway JVM alive (~0.3-0.5 cores
+    of GC/idle threads for the rest of the protocol) — kill it so the
+    measured runs share the machine with nothing."""
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark import SparkContext
+        SparkSession._instantiatedSession = None
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception as e:  # surface, don't silently bias the protocol
+        print(f"WARNING: gateway shutdown failed: {e!r}", file=sys.stderr)
 
-    # pre-generate the corpus once so neither run pays generation
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_clean = int(os.environ.get("SCALING_N_CLEAN", "3"))
+    tol = float(os.environ.get("SCALING_TOL", "0.03"))
+    budget = float(os.environ.get("SCALING_BUDGET_S", "7200"))
+    max_legs = int(os.environ.get("SCALING_MAX_LEGS", "12"))
+
+    # pre-generate the corpus once so no leg pays generation
     from stats_spark.session import get_spark
     from stats_spark.datagen import corpus
     corpus.TIERS["bench"] = n_convs
-    # generation is setup, not measurement — use the whole machine
     gen_cores = max(high, os.cpu_count() or high)
     spark = get_spark("scale-gen", cores=gen_cores)
     spark.sparkContext.setLogLevel("ERROR")
     corpus.ensure_corpus("bench", spark=spark)
     spark.stop()
-    # spark.stop() leaves the Py4J gateway JVM alive (~0.3-0.5 cores of
-    # GC/idle threads for the rest of the protocol) — kill it so the
-    # measured runs share the machine with nothing
-    try:
-        SparkSession._instantiatedSession = None
-        from pyspark import SparkContext
-        if SparkContext._gateway is not None:
-            SparkContext._gateway.shutdown()
-            SparkContext._gateway = None
-            SparkContext._jvm = None
-    except Exception:
-        pass
+    shutdown_gateway()
 
-    # this host has heavy run-to-run noise (noisy neighbors): take the
-    # best of N identical runs per level — min is the least-noise sample
-    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
-    # interleave the levels (low,high,low,high,...) so a sustained
-    # noisy-neighbor burst cannot contaminate every sample of one level
-    runs_low, runs_high = [], []
-    for _ in range(repeats):
-        runs_low.append(run_level(low, n_convs))
-        runs_high.append(run_level(high, n_convs))
-    r_low = min(runs_low, key=lambda r: r["seconds"])
-    r_high = min(runs_high, key=lambda r: r["seconds"])
-    eff = round((r_low["seconds"] / r_high["seconds"]) / (high / low), 3)
+    t_start = time.time()
+    # legs: [{level, run, pre, post}] — pre/post are sentinel samples
+    legs = []
+    samples = [sentinel(low, high)]  # session-wide sentinel history
 
-    # hardware frequency ceiling: per-core speed at each concurrency
-    # (shared/turbo hosts run fewer busy cores at higher clocks, which
-    # caps RAW measurable efficiency below 1.0 for ANY job)
-    c_low = min(cpu_reference(low) for _ in range(3))
-    c_high = min(cpu_reference(high) for _ in range(3))
-    hw_ceiling = round(c_low / c_high, 3)
-    eff_norm = round(eff / hw_ceiling, 3) if hw_ceiling else None
+    def clean_counts():
+        best = {k: min(s[k] for s in samples) for k in ("low", "high")}
+        out = {low: 0, high: 0}
+        for leg in legs:
+            ok = all(leg[b][k] <= best[k] * (1 + tol)
+                     for b in ("pre", "post") for k in ("low", "high"))
+            leg["clean"] = ok
+            if ok:
+                out[leg["level"]] += 1
+        return out, best
 
-    result = dict(n_convs=n_convs, low=r_low, high=r_high,
-                  scaling_efficiency=eff, hw_clock_ceiling=hw_ceiling,
+    while True:
+        counts, _ = clean_counts()
+        if counts[low] >= n_clean and counts[high] >= n_clean:
+            break
+        if len(legs) >= max_legs or time.time() - t_start > budget:
+            print(f"WARNING: stopping with clean counts {counts} "
+                  f"(target {n_clean} per level)", file=sys.stderr)
+            break
+        # run whichever level is short on clean legs so a late clean
+        # window fills the real gap (ties go to the low level)
+        level = low if counts[low] <= counts[high] else high
+        pre = samples[-1]
+        run = run_level(level, n_convs)
+        post = sentinel(low, high)
+        samples.append(post)
+        legs.append(dict(level=level, run=run, pre=pre, post=post))
+        print(json.dumps(dict(leg=len(legs), level=level,
+                              seconds=run["seconds"], pre=pre, post=post)),
+              flush=True)
+
+    counts, best = clean_counts()
+    ceiling = round(best["low"] / best["high"], 4)
+
+    def leg_secs(level, only_clean):
+        return [leg["run"]["seconds"] for leg in legs
+                if leg["level"] == level and (leg["clean"] or not only_clean)]
+
+    use_clean = counts[low] > 0 and counts[high] > 0
+    t_low = min(leg_secs(low, use_clean))
+    t_high = min(leg_secs(high, use_clean))
+    eff = round((t_low / t_high) / (high / low), 3)
+    eff_norm = round(eff / ceiling, 3)
+    turns = legs[0]["run"]["turns"] if legs else 0
+
+    result = dict(n_convs=n_convs, low_cores=low, high_cores=high,
+                  t_low=t_low, t_high=t_high,
+                  scaling_efficiency_raw=eff,
+                  hw_clock_ceiling=ceiling,
                   scaling_efficiency_clock_normalized=eff_norm,
-                  all_runs=dict(low=[r["seconds"] for r in runs_low],
-                                high=[r["seconds"] for r in runs_high]))
+                  clean_legs=counts, tol=tol,
+                  legs=[dict(level=g["level"], seconds=g["run"]["seconds"],
+                             clean=g["clean"], pre=g["pre"], post=g["post"])
+                        for g in legs])
     print(json.dumps(result))
+
+    rows = "\n".join(
+        "| {i} | local[{lv}] | {s} | {c} | {pl} / {ph} | {ql} / {qh} |".format(
+            i=i + 1, lv=g["level"], s=g["run"]["seconds"],
+            c="yes" if g["clean"] else "NO — discarded",
+            pl=g["pre"]["low"], ph=g["pre"]["high"],
+            ql=g["post"]["low"], qh=g["post"]["high"])
+        for i, g in enumerate(legs))
+    gate = "" if (counts[low] >= n_clean and counts[high] >= n_clean) else (
+        f"\n> **Disclosure:** the protocol targeted ≥{n_clean} clean legs"
+        f" per level but the budget ended with {counts[low]}×local[{low}]"
+        f" / {counts[high]}×local[{high}] clean legs.\n")
 
     md = f"""# BENCH — throughput + scaling evidence
 
-Full parse→enrich→route→aggregate pipeline over the deterministic
-synthetic transcript corpus ({n_convs:,} conversations,
-{r_low['turns']:,} turn rows; skewed format sizes per
-`logs/DESIGN.md:9-11`). Identical job, identical input, two
-parallelism levels, fresh JVM each (the sandbox evidence protocol for
-the north rule's two-cluster-size criterion).
+Full parse→enrich→route→aggregate pipeline (staged materialization —
+the cluster deployment path) over the deterministic synthetic
+transcript corpus ({n_convs:,} conversations, {turns:,} turn rows;
+skewed format sizes per `logs/DESIGN.md:9-11`).  Identical job,
+identical input, two parallelism levels, fresh JVM per leg — the
+sandbox evidence protocol for the north rule's two-cluster-size
+criterion.
 
-| parallelism | wall-clock (s) | parse (s) | turns/sec |
-| --- | --- | --- | --- |
-| local[{low}] | {r_low['seconds']} | {r_low['parse_seconds']} | {r_low['turns_per_sec']:,} |
-| local[{high}] | {r_high['seconds']} | {r_high['parse_seconds']} | {r_high['turns_per_sec']:,} |
+**Interference-gated protocol**: a pure-CPU clock sentinel (equal work
+per process, no memory traffic, no JVM) runs at BOTH concurrency
+levels immediately before and after every leg; a leg is kept only if
+all four bracketing readings are within {tol:.0%} of the session-best
+reading at that concurrency.  Legs from loaded windows are discarded
+by protocol — no after-the-fact normalization enters the headline
+number.  Efficiency uses min-of-clean per level
+({counts[low]} clean local[{low}] legs, {counts[high]} clean
+local[{high}] legs).
+{gate}
+| leg | parallelism | wall-clock (s) | clean | sentinel pre (c{low} / c{high}) | sentinel post (c{low} / c{high}) |
+| --- | --- | --- | --- | --- | --- |
+{rows}
 
-Best of {repeats} identical runs per level (this host has noisy
-neighbors; all samples: low={[r['seconds'] for r in runs_low]},
-high={[r['seconds'] for r in runs_high]}).
+| parallelism | best clean wall-clock (s) | turns/sec |
+| --- | --- | --- |
+| local[{low}] | {t_low} | {round(turns / t_low, 1):,} |
+| local[{high}] | {t_high} | {round(turns / t_high, 1):,} |
 
 **Raw scaling efficiency {low}→{high} cores:
 (T{low}/T{high}) / ({high}/{low}) = {eff}** (target ≥ 0.8).
 
-**Hardware clock ceiling** on this host: an identical pure-CPU task
-runs {hw_ceiling}× slower per core at {high}-way concurrency than at
-{low}-way (shared-host frequency scaling, measured by the harness's
-`cpu_reference` microbenchmark — equal work per process, no memory
-traffic, no JVM). That ceiling bounds ANY job's raw efficiency at
-{hw_ceiling} on this box.
-
-**Clock-normalized scaling efficiency: {eff_norm}** — the pipeline
-itself parallelizes essentially linearly; the residual gap is host
-frequency scaling, which a real N→4N *executor* scale-out (more hosts,
-constant clocks) does not incur.
+**Hardware clock ceiling** on this host this session: the sentinel
+runs {ceiling}× slower per core at {high}-way concurrency than at
+{low}-way (shared-host turbo/frequency scaling).  That ceiling bounds
+ANY job's raw efficiency at {ceiling} on this box; a real N→4N
+*executor* scale-out (more hosts, constant clocks) does not pay it.
+Clock-normalized efficiency — context, not the headline: {eff_norm}.
 
 Measured by `scripts/scaling.py {n_convs} {low} {high}`;
 `bench.py` reports the per-round headline numbers the driver records.

@@ -43,7 +43,7 @@ n_exec, n_convs = int(sys.argv[1]), int(sys.argv[2])
 # /tmp here is an overlay fs that serializes concurrent writers.
 os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
 from pyspark.sql import SparkSession
-from stats_spark.session import SQL_CONF, EXECUTOR_JVM_FLAGS
+from stats_spark.session import SQL_CONF, LOCAL_SQL_CONF, EXECUTOR_JVM_FLAGS
 from stats_spark.datagen import corpus
 from stats_spark.plans import pipeline
 from stats_spark.sources import tables
@@ -59,7 +59,7 @@ b = (SparkSession.builder
      .config("spark.ui.enabled", "false")
      .config("spark.executorEnv.PYTHONPATH", "/root/repo")
      .config("spark.sql.shuffle.partitions", "32"))
-for k, v in SQL_CONF.items():
+for k, v in {**SQL_CONF, **LOCAL_SQL_CONF}.items():
     b = b.config(k, v)
 t_boot0 = time.time()
 spark = b.getOrCreate()
@@ -69,7 +69,8 @@ n_turns = tables.load_transcripts(spark, c).count()
 t_boot = time.time() - t_boot0
 out = os.path.join(corpus.corpus_dir("bench"), f"scale_out_{n_exec}x")
 t0 = time.time()
-m = pipeline.run_pipeline(spark, c, out, count_rows=False)
+m = pipeline.run_pipeline(spark, c, out, count_rows=False,
+                          materialize="stage")
 dt = time.time() - t0
 print(json.dumps(dict(executors=n_exec, cores=n_exec * EXEC_CORES,
                       seconds=round(dt, 2), turns=n_turns,

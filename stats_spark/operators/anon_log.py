@@ -442,17 +442,22 @@ def anonymize_logs(df, base_names: dict[str, str],
 
     def fn(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                raw = json.loads(r[raw_col])
+            # columnar .tolist() zip, not iterrows — same idiom as the
+            # streaming ingest (streaming/pipeline.py); the per-row JSON
+            # parse + protocol rewrite dominates, but row materialization
+            # shouldn't add per-cell Series overhead on top
+            anons, leaks = [], []
+            for raw_s in pdf[raw_col].tolist():
+                raw = json.loads(raw_s)
                 v = Verifier()
                 anon = anonymize_raw(
                     raw, lambda s: bn.get(s, s), salt, verifier=v)
-                row = {c: r[c] for c in id_cols}
-                row["anon"] = json.dumps(anon)
-                row["n_leaks"] = len(v.leaks)
-                rows.append(row)
-            yield pd.DataFrame(rows)
+                anons.append(json.dumps(anon))
+                leaks.append(len(v.leaks))
+            out = pdf[id_cols].copy()
+            out["anon"] = anons
+            out["n_leaks"] = leaks
+            yield out
 
     schema = ", ".join(
         [f"{c} {t}" for c, t in df.dtypes if c != raw_col]

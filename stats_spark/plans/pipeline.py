@@ -71,6 +71,13 @@ def cutoff_map(date: str, formats: list[str] | None = None) -> dict:
     return {f: cutoffs_for(f, date) for f in fmts}
 
 
+# the columns every battles_w consumer (encounters / leads /
+# battle_counts) reads — shared by the stage and cache prune sites so
+# the two lists cannot drift
+BW_COLS = ["conv_id", "format", "cutoff", "short", "singles",
+           "leads_ok", "lead_p1", "lead_p2", "w_p1", "w_p2", "matchups"]
+
+
 def battles_weighted(battles: DataFrame,
                      cutoffs=dims.DEFAULT_CUTOFFS,
                      non_singles: set | None = None,
@@ -166,7 +173,7 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     # Re-spread by bytes-cheap shuffle so every later stage parallelizes.
     ok = ok.repartition(battles.sparkSession.sparkContext.defaultParallelism * 2)
 
-    bw_future = None
+    bw_future, _bw_pool = None, None
     if stage:
         # battles_w derives from the battles checkpoint alone — no
         # dependence on the enrichment lineage — so its staging write
@@ -176,63 +183,41 @@ def build_frames(spark: SparkSession, battles: DataFrame,
         from concurrent.futures import ThreadPoolExecutor
         _bw_pool = ThreadPoolExecutor(max_workers=1)
         bw_future = _bw_pool.submit(
-            stage,
-            battles_weighted(ok, cutoffs).select(
-                "conv_id", "format", "cutoff", "short", "singles",
-                "leads_ok", "lead_p1", "lead_p2", "w_p1", "w_p2",
-                "matchups"),
+            stage, battles_weighted(ok, cutoffs).select(*BW_COLS),
             "battles_w")
 
-    sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
-    # enrichment (stats + classifier columns) is the CPU-heavy stage;
-    # prune it to the columns the aggregates consume and cache ONCE —
-    # side_class, mons_w and sides_w all derive from this single frame
-    # instead of re-running the enrichment per consumer
-    from stats_spark.operators.classifier import _COUNTERS
-    mons = enrich.enrich_mons(sides, spark).select(
-        "conv_id", "side", "format", "species", "player",
-        "rating_valid", "short", "outcome", "turns_out", "gxe",
-        "ability", "item", "tera_type", "happiness", "spread",
-        "stats_str", "moves", "stalliness", "bias", "base_types",
-        "eff_rpr", "eff_rprd",
-        *[f"w_{w}" for w in ("rain", "sun", "sand", "hail")], *_COUNTERS)
-    if cache:
-        mons = mons.cache()
-    elif stage:
-        mons = stage(mons, "mons")
-    side_class = enrich.classify_sides(mons)
-    if cache:
-        side_class = side_class.cache()
-    elif stage:
-        side_class = stage(side_class, "side_class")
-
-    # side tags ride along on every mon row so the A13 tag fan-out is a
-    # plain explode downstream (single pass for total + all tag shards)
-    mons_j = mons.join(side_class.select("conv_id", "side", "tags"),
-                       ["conv_id", "side"])
-    mons_w = enrich.with_weight(enrich.explode_cutoffs(mons_j, cutoffs))
-    sides_w = enrich.with_weight(enrich.explode_cutoffs(
-        sides.join(side_class, ["conv_id", "side"]), cutoffs))
-    battles_w = battles_weighted(ok, cutoffs)
-    if cache or stage:
-        # second level: the ×cutoffs frames every sink consumes —
-        # pruned to the aggregate columns (the full frame is ~45 cols)
-        mons_w = mons_w.select(
-            "format", "cutoff", "species", "player", "weight",
+    try:
+        sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
+        # enrichment (stats + classifier columns) is the CPU-heavy stage;
+        # prune it to the columns the aggregates consume and cache ONCE —
+        # side_class, mons_w and sides_w all derive from this single frame
+        # instead of re-running the enrichment per consumer
+        from stats_spark.operators.classifier import _COUNTERS
+        mons = enrich.enrich_mons(sides, spark).select(
+            "conv_id", "side", "format", "species", "player",
             "rating_valid", "short", "outcome", "turns_out", "gxe",
             "ability", "item", "tera_type", "happiness", "spread",
-            "stats_str", "moves", "tags")
-        sides_w = sides_w.select(
-            "conv_id", "format", "cutoff", "side", "weight", "short",
-            "team", "team_size", "tags", "team_stalliness")
+            "stats_str", "moves", "stalliness", "bias", "base_types",
+            "eff_rpr", "eff_rprd",
+            *[f"w_{w}" for w in ("rain", "sun", "sand", "hail")], *_COUNTERS)
         if cache:
-            battles_w = battles_w.select(
-                "conv_id", "format", "cutoff", "short", "singles",
-                "leads_ok", "lead_p1", "lead_p2", "w_p1", "w_p2",
-                "matchups")
-            mons_w, sides_w, battles_w = (
-                mons_w.cache(), sides_w.cache(), battles_w.cache())
-        else:
+            mons = mons.cache()
+        elif stage:
+            mons = stage(mons, "mons")
+        side_class = enrich.classify_sides(mons)
+        if cache:
+            side_class = side_class.cache()
+        elif stage:
+            side_class = stage(side_class, "side_class")
+
+        # side tags ride along on every mon row so the A13 tag fan-out is a
+        # plain explode downstream (single pass for total + all tag shards)
+        mons_j = mons.join(side_class.select("conv_id", "side", "tags"),
+                           ["conv_id", "side"])
+        mons_w = enrich.with_weight(enrich.explode_cutoffs(mons_j, cutoffs))
+        sides_w = enrich.with_weight(enrich.explode_cutoffs(
+            sides.join(side_class, ["conv_id", "side"]), cutoffs))
+        if stage:
             # mons_w / sides_w are NOT staged: past the staged mons /
             # side_class, the ×cutoff explode + erf weighting is pure
             # whole-stage codegen — cheaper for each sink to recompute
@@ -240,7 +225,31 @@ def build_frames(spark: SparkSession, battles: DataFrame,
             # exploded parquet through a half-utilized serial barrier
             # (measured: staging them ran the phase at ~4.5/8 cores)
             battles_w = bw_future.result()
-            _bw_pool.shutdown(wait=False)
+        else:
+            battles_w = battles_weighted(ok, cutoffs)
+        if cache or stage:
+            # second level: the ×cutoffs frames every sink consumes —
+            # pruned to the aggregate columns (the full frame is ~45 cols)
+            mons_w = mons_w.select(
+                "format", "cutoff", "species", "player", "weight",
+                "rating_valid", "short", "outcome", "turns_out", "gxe",
+                "ability", "item", "tera_type", "happiness", "spread",
+                "stats_str", "moves", "tags")
+            sides_w = sides_w.select(
+                "conv_id", "format", "cutoff", "side", "weight", "short",
+                "team", "team_size", "tags", "team_stalliness")
+            if cache:
+                battles_w = battles_w.select(*BW_COLS)
+                mons_w, sides_w, battles_w = (
+                    mons_w.cache(), sides_w.cache(), battles_w.cache())
+    finally:
+        if _bw_pool is not None:
+            # on the success path result() already ran — shutdown is a
+            # no-op; on an error path (e.g. staging mons fails) this
+            # cancels a not-yet-started staging job and never blocks
+            # error propagation on the worker thread
+            bw_future.cancel()
+            _bw_pool.shutdown(wait=False, cancel_futures=True)
 
     usage = agg.usage_by_species(mons_w)
     usage_tagged = agg.usage_by_species_tagged(agg.with_tag_dimension(mons_w))
@@ -267,6 +276,19 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     )
     frames["viability"] = agg.viability(frames["unique_players"])
     return frames
+
+
+def resolve_materialize(master: str, materialize: str) -> str:
+    """``"auto"`` → topology-aware choice: executor-memory cache when
+    every cached block is process-local by construction (single-JVM
+    ``local``/``local[...]`` master), parquet staging for any
+    multi-executor master ("local-cluster[...]", standalone, YARN,
+    k8s) where 11 concurrent sink jobs would stall on remote block
+    fetch / lineage recompute (see build_frames)."""
+    if materialize != "auto":
+        return materialize
+    single_jvm = master == "local" or master.startswith("local[")
+    return "cache" if single_jvm else "stage"
 
 
 SINKS = ["usage", "usage_tagged", "usage_totals", "moveset", "teammates",
@@ -297,7 +319,7 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                  count_rows: bool = True,
                  resume: bool = False,
                  date: str | None = None,
-                 materialize: str = "stage") -> dict:
+                 materialize: str = "auto") -> dict:
     """Full job: scan → parse → enrich → aggregate → ROUTE to per-sink
     partitioned parquet trees + per-sink lineage records.
 
@@ -310,12 +332,17 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
     dependent cutoff sets (popular formats get [0,1500,1695,1825]).
 
     ``materialize`` picks how the shared intermediates are held while
-    the 11 sinks consume them: ``"stage"`` (default) writes them to
-    parquet under ``out_dir/_stage`` — topology-independent, the
-    cluster-scale path; ``"cache"`` uses executor-memory caching —
-    marginally faster single-JVM, degrades under multi-executor
-    concurrent sinks (see build_frames)."""
+    the 11 sinks consume them: ``"stage"`` writes them to parquet under
+    ``out_dir/_stage`` — topology-independent, the cluster-scale path;
+    ``"cache"`` uses executor-memory caching — faster single-JVM,
+    degrades under multi-executor concurrent sinks (see build_frames).
+    ``"auto"`` (default) picks by topology: a single-JVM ``local[*]``
+    master (all cached blocks are process-local by construction) gets
+    cache; any multi-executor master (local-cluster, standalone, YARN,
+    k8s) gets the staged path."""
     t0 = time.time()
+    materialize = resolve_materialize(spark.sparkContext.master or "",
+                                      materialize)
     if date is not None:
         cutoffs = cutoff_map(date)
     done = completed_sinks(spark, out_dir) if resume else set()

@@ -35,18 +35,22 @@ SQL_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Scan-split sizing. The pipeline's intermediates (battles
-    # checkpoint, staged frames) are COMPACT by bytes — tens of MB
-    # compressed — but expensive to decode (nested team/matchup
-    # structs) and they fan out ×12-48 downstream.  Under the 128 MB
-    # default + 4 MB open-cost packing, a whole intermediate collapses
-    # into 1-2 scan splits, so every consumer job starts with a
-    # single-task decode — a serial stage that caps N→4N scaling
-    # (measured: ~167 s of the staging phase was core-count-invariant
-    # at sf-bench scale).  Size splits so a scan yields at least a few
-    # tasks per core at this deployment's data:core ratio; a 100 TB
-    # deployment re-raises these via spark-submit --conf (the defaults
-    # there are right: 6M splits would drown the scheduler).
+}
+
+# Scan-split sizing — LOCAL/BENCH FACTORY ONLY (get_spark below), never
+# the spark-submit path.  The pipeline's intermediates (battles
+# checkpoint, staged frames) are COMPACT by bytes — tens of MB
+# compressed — but expensive to decode (nested team/matchup structs)
+# and they fan out ×12-48 downstream.  Under the 128 MB default + 4 MB
+# open-cost packing, a whole intermediate collapses into 1-2 scan
+# splits, so every consumer job starts with a single-task decode — a
+# serial stage that caps N→4N scaling (measured: ~167 s of the staging
+# phase was core-count-invariant at sf-bench scale).  These values fit
+# THIS sandbox's data:core ratio; at 100 TB the stock 128 MB default is
+# right (8 MB splits would mean ~12M scan tasks and drown the
+# scheduler), so submit-path sessions keep stock defaults unless the
+# deployment passes --conf explicitly.
+LOCAL_SQL_CONF = {
     "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(512 * 1024),
 }
@@ -111,7 +115,7 @@ def get_spark(
         # on identical local[8] runs)
         .config("spark.driver.extraJavaOptions", EXECUTOR_JVM_FLAGS)
     )
-    for k, v in SQL_CONF.items():
+    for k, v in {**SQL_CONF, **LOCAL_SQL_CONF}.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
