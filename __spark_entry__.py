@@ -8,10 +8,10 @@
                  read_parquet(); weighted aggregates use a portable
                  Cody-erf SQL expression (functions/sqlgen.py) so the
                  oracle recomputes the same doubles, rounded to 6dp on
-                 both sides.  Queries whose semantics are not
-                 SQL-expressible (the conversation FSM internals,
-                 LSH-plane ANN, multimodal UDF plumbing) have no oracle
-                 entry → the driver records a rows-only check.
+                 both sides.  The one query with no oracle entry is
+                 tr_anon_leaks (a planted-leak NEGATIVE test — its
+                 value is that the verifier fires, not a row set);
+                 the driver records a rows-only check for it.
 """
 
 from __future__ import annotations
@@ -91,6 +91,22 @@ def _frames(spark: SparkSession) -> dict:
     return pipeline.build_frames(spark, _battles(spark))
 
 
+def _battles_glob() -> str:
+    """DuckDB source for the parsed-battles checkpoint (S5).  The FSM
+    outputs (matchups, leads) are not SQL-expressible, but their
+    AGGREGATION is — the oracle consumes the checkpoint the way the
+    reference's combine stage consumes its per-day checkpoints
+    (logs/src/checkpoints.ts); the FSM itself is byte-parity-proven
+    against the reference fixtures (tests/test_parity.py).  Builds the
+    checkpoint if this process hasn't parsed yet (e.g. the driver
+    evaluates oracle SQL before the Spark queries)."""
+    path = os.path.join(T2_DIR, f"battles_cache_{_parse_version()}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from stats_spark.session import get_spark
+        _battles(get_spark("oracle-prep"))
+    return f"read_parquet('{path}/*.parquet')"
+
+
 def _dims():
     from stats_spark.datagen import dims
     return dims
@@ -118,16 +134,22 @@ def _species_in_sql() -> str:
 
 def _rejects_cte() -> str:
     """conv_ids the parser quarantines (P8 subset reachable in the
-    generated corpus: malformed move/switch lines, unknown species)."""
+    generated corpus: malformed move/switch lines, unknown species).
+    Non-singles formats skip the matchup FSM entirely (parse.py:264-267,
+    parser.ts:119), so line-level corruption never rejects there."""
+    d = _dims()
+    non_singles = "(" + ", ".join(
+        f"'{f}'" for f in sorted(d.NON_SINGLES_FORMATS)) + ")"
     toid = ("regexp_replace(lower(string_split(string_split(text,'|')[4], ',')[1]),"
             " '[^a-z0-9]+', '', 'g')")
     return f"""
   rejects AS (
     SELECT DISTINCT conv_id FROM {TR}
-    WHERE (string_split(text,'|')[2] = 'move' AND len(string_split(text,'|')) < 4)
+    WHERE format NOT IN {non_singles}
+      AND ((string_split(text,'|')[2] = 'move' AND len(string_split(text,'|')) < 4)
        OR (string_split(text,'|')[2] IN ('switch','drag','replace')
            AND (len(string_split(text,'|')) < 4
-                OR {toid} NOT IN {_species_in_sql()}))
+                OR {toid} NOT IN {_species_in_sql()})))
   )"""
 
 
@@ -459,10 +481,19 @@ def emb_ann_ivf(spark, sf_dir):
 
 # ---- multimodal plumbing (stubbed decode) -----------------------------
 
+MEDIA_PATH = os.path.join(REPO, "data", "media_t1.parquet")
+
+
 def mm_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over opaque binary
+    media payloads; decode itself is a disclosed deterministic stub
+    (no codecs in this image) but n_bytes / digest / mean_byte are pure
+    functions of the payload bytes — DuckDB-oracle-checked over the
+    same committed parquet."""
     from stats_spark.operators import multimodal as MM
-    media = MM.synth_media(spark, n=64)
-    return MM.extract_features(media).drop("feat")
+    media = spark.read.parquet(MM.ensure_media_parquet(MEDIA_PATH))
+    return (MM.extract_features(media).drop("feat")
+            .withColumn("mean_byte", F.round("mean_byte", 6)))
 
 
 # ---- transcript pipeline queries --------------------------------------
@@ -499,6 +530,23 @@ def tr_player_wins(spark, sf_dir):
                  F.sum("tie").alias("ties"))
             .orderBy(F.desc("games"), F.desc("wins"), F.asc("player"))
             .limit(100))
+
+
+def tr_format_canon(spark, sf_dir):
+    """J5 — canonicalizeFormat (util.ts:261-275) as a broadcast dim
+    join: historical format names (pokebank*/oras*/*current/beta/
+    smogondoubles…) re-key to their canonical formats before the
+    group-by, exactly the rewrite the reference applies when merging
+    report trees across eras."""
+    from stats_spark.operators import enrich
+    b = _battles(spark).filter("error IS NULL")
+    fm = F.broadcast(enrich.dim_formats_df(spark)
+                     .select("format", "canonical_format"))
+    return (b.join(fm, "format")
+            .groupBy("canonical_format")
+            .agg(F.count("*").alias("n_battles"),
+                 F.countDistinct("format").alias("n_source_formats"),
+                 F.round(F.avg("turns"), 6).alias("avg_turns")))
 
 
 def tr_rejects(spark, sf_dir):
@@ -543,8 +591,6 @@ def tr_teammate_pairs(spark, sf_dir):
                                   & (F.col("species") < F.col("teammate")))
             .select("format", "species", "teammate", "raw"))
 
-
-# FSM-internal / classifier queries — no SQL oracle (rows-only check)
 
 def tr_encounters(spark, sf_dir):
     f = _frames(spark)
@@ -670,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_line_type_counts": tr_line_type_counts,
         "tr_turns_per_format": tr_turns_per_format,
         "tr_player_wins": tr_player_wins,
+        "tr_format_canon": tr_format_canon,
         "tr_rejects": tr_rejects,
         "tr_anon_sample": tr_anon_sample,
         "tr_anon_public": tr_anon_public,
@@ -1093,6 +1140,24 @@ def oracle_sql() -> dict[str, str]:
       FROM {CV} c JOIN rejects r ON c.conv_id = r.conv_id
       GROUP BY 1"""
 
+    # J5 canonical-format rewrite: the rule CONTENT is config (a pure
+    # function over the known format universe, like the tier ladder) —
+    # inline it as a CASE literal built from the same dims function
+    d = _dims()
+    canon_case = "CASE c.format " + "".join(
+        f"WHEN '{f}' THEN '{d.canonicalize_format(f)}' "
+        for f, *_ in d.FORMATS
+        if d.canonicalize_format(f) != f) + "ELSE c.format END"
+    sql["tr_format_canon"] = f"""
+      WITH {_rejects_cte()}
+      SELECT {canon_case} AS canonical_format,
+             count(*) AS n_battles,
+             count(DISTINCT c.format) AS n_source_formats,
+             round(avg(c.turns), 6) AS avg_turns
+      FROM {CV} c
+      WHERE c.conv_id NOT IN (SELECT conv_id FROM rejects)
+      GROUP BY 1"""
+
     sql["tr_anon_sample"] = f"""
       SELECT format, count(*) AS n_sampled
       FROM {CV}
@@ -1464,6 +1529,61 @@ def oracle_sql() -> dict[str, str]:
       WHERE NOT (a.format NOT IN {non_6v6} AND (a.turns < 2 OR
                  (a.turns < 3 AND a.format NOT IN {non_singles})))
       GROUP BY 1, 2, 3"""
+
+    # multimodal features — payload-derived fields only (the decode
+    # stub's feat vector is dropped by the query): octet_length,
+    # sha256-over-hex digest, exact float64 byte mean
+    from stats_spark.operators.multimodal import ensure_media_parquet
+    media_pq = ensure_media_parquet(MEDIA_PATH)
+    sql["mm_features"] = f"""
+      SELECT media_id, kind,
+             octet_length(payload) AS n_bytes,
+             substr(sha256(hex(payload)), 1, 16) AS digest,
+             round(list_aggregate(list_transform(
+                 range(1, octet_length(payload) + 1),
+                 i -> ('0x' || substr(hex(payload), 2*i - 1, 2))::INT),
+               'avg'), 6) AS mean_byte
+      FROM read_parquet('{media_pq}')"""
+
+    # A7/J7 encounters — the matchup list comes from the parsed-battles
+    # checkpoint (FSM internals, byte-parity-proven separately); the
+    # oracle independently recomputes the gates (accept/short/singles/
+    # leads), the per-side erf weights, the min(w_p1, w_p2) battle
+    # weight, the mirrored inverse-outcome projection and the 13-wide
+    # pivot (stats.ts:186-199, 474-483)
+    from stats_spark.operators.parse import INVERSE_OUTCOMES as _INV
+    from stats_spark.functions import sqlgen as _sq
+    inv_list = "[" + ", ".join(str(v) for v in _INV) + "]"
+
+    def _w1500(pfx: str) -> str:
+        out = (f"(CASE WHEN winner = 'tie' THEN 0 "
+               f"WHEN winner = '{pfx}' THEN 1 ELSE -1 END)")
+        rpr, rprd = f"{pfx}_rpr", f"{pfx}_rprd"
+        return _sq.weighting_sql(_sq.effective_rpr_sql(rpr, rprd, out),
+                                 _sq.effective_rprd_sql(rpr, rprd, out),
+                                 "1500")
+
+    sql["tr_encounters"] = f"""
+      WITH b AS (
+        SELECT format, matchups,
+               least({_w1500('p1')}, {_w1500('p2')}) AS w
+        FROM {_battles_glob()}
+        WHERE error IS NULL AND format IN {acc}
+          AND lead_p1 IS NOT NULL AND lead_p2 IS NOT NULL
+          AND lead_p1 <> 'empty' AND lead_p2 <> 'empty'
+          AND format NOT IN {non_singles}
+          AND NOT {short}),
+      mu AS (SELECT format, w, unnest(matchups) AS m FROM b),
+      both_dirs AS (
+        SELECT format, w, m.a AS species, m.b AS opponent,
+               m.outcome AS outcome FROM mu
+        UNION ALL
+        SELECT format, w, m.b, m.a, {inv_list}[m.outcome + 1] FROM mu)
+      SELECT format, species, opponent,
+        {", ".join(
+            f"round(coalesce(sum(CASE WHEN outcome = {i} THEN w END), 0),"
+            f" 6) AS o{i}" for i in range(13))}
+      FROM both_dirs GROUP BY 1, 2, 3"""
 
     # S8 binary DB rows — byte-for-byte hex twin of
     # binary_db.encode_logs(gen=1): LE multi-byte fields emitted one

@@ -61,6 +61,20 @@ def main():
           lambda: pipeline.run_pipeline(spark, c, out_dir,
                                         checkpoint_battles=True))
 
+    # S8/A14 round-trip at bench scale: encode the parsed battles to
+    # the fixed-width `.db`, then the distributed fixed-width scan +
+    # Binary.Stats aggregation reads it back
+    def bench_binary_db():
+        from stats_spark.operators import binary_db as B
+        b = (spark.read.parquet(os.path.join(out_dir, "battles"))
+             .filter("error IS NULL"))
+        db_dir = os.path.join(corpus.corpus_dir("bench"), "db")
+        B.write_db(B.encode_logs(b, gen=1), db_dir, gen=1, n_files=8)
+        return B.stats_from_db(spark, db_dir, gen=1,
+                               cutoff=1500)["usage"].count()
+
+    timed("binary_db_roundtrip", bench_binary_db)
+
     # representative operator queries at the driver SF tables
     import importlib.util
     spec = importlib.util.spec_from_file_location(

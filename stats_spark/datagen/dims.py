@@ -389,7 +389,44 @@ FORMATS = [
     ("gen9monotype",        0.04, 9, True,  True),
     ("gen9randombattle",    0.02, 9, True,  True),   # skipped by accept filter
     ("gen9challengecup1v1", 0.01, 9, True,  False),  # non-6v6
+    # historical (gen-6-era) format names — each exercises one branch
+    # of canonicalizeFormat (util.ts:261-275); weights small, per the
+    # reference's long-tail format distribution
+    ("smogondoubles",       0.008, 6, False, True),   # → doublesou
+    ("orasou",              0.006, 6, True,  True),   # → ou
+    ("pokebankoubeta",      0.005, 6, True,  True),   # → ou
+    ("battlespotdoubles",   0.004, 6, False, False),  # → vgc2015 (4v4)
+    ("uucurrent",           0.003, 6, True,  True),   # → uu
+    ("xybattlespotsinglesbeta", 0.002, 6, True, False),  # → …singles (3v3)
+    ("capbeta",             0.002, 6, True,  True),   # → cap
 ]
+
+
+def canonicalize_format(fmt: str) -> str:
+    """J5 — util.ts:261-275, rule for rule (including the JS slice
+    semantics: ``slice(8, -4)`` strips the 'pokebank' prefix AND a
+    4-char suffix in one move)."""
+    if fmt.endswith("current"):
+        fmt = fmt[:-7]
+    if fmt.startswith("pokebank"):
+        fmt = fmt[8:-4]
+    if fmt.startswith("oras"):
+        fmt = fmt[4:]
+    if fmt == "capbeta":
+        return "cap"
+    if fmt == "vgc2014beta":
+        return "vgc2014"
+    if fmt.startswith("xybattlespot") and fmt.endswith("beta"):
+        fmt = fmt[:-4]
+    if fmt in ("battlespotdoubles", "battlespotdoublesvgc2015"):
+        return "vgc2015"
+    if fmt == "smogondoubles":
+        return "doublesou"
+    if fmt == "smogondoublesubers":
+        return "doublesubers"
+    if fmt == "smogondoublesuu":
+        return "doublesuu"
+    return fmt
 
 # accept() analog — logs/src/worker.ts:25-28 + workflows/smogon/stats.ts:37-41
 SKIP_SUBSTRINGS = ("random", "custom", "petmod", "seasonal", "metronome")
@@ -409,7 +446,7 @@ def formats_table() -> pd.DataFrame:
     rows = []
     for fmt, _w, gen, singles, is6v6 in FORMATS:
         rows.append(dict(
-            format=fmt, canonical_format=fmt, gen=gen,
+            format=fmt, canonical_format=canonicalize_format(fmt), gen=gen,
             is_singles=singles, is_6v6=is6v6,
             accepted=accept_format(fmt),
             cutoffs=DEFAULT_CUTOFFS,

@@ -298,6 +298,160 @@ def concat_db(out_dir: str, db_path: str) -> int:
 
 
 # ---------------------------------------------------------------------
+# distributed read side — Binary.Stats over `.db` files
+# (binary.ts:245-319; consumers tools/stats + tools/teams)
+
+def scan_db(spark, db_dir: str, gen: int = 1):
+    """Distributed fixed-width scan of the `.db` sink: Spark's
+    ``binaryRecords`` (FixedLengthBinaryInputFormat — SPLITTABLE, so a
+    100 TB `.db` tree fans out across executors) yields one raw record
+    per row; everything downstream is pure column expressions."""
+    size = row_size(gen)
+    pattern = (db_dir if db_dir.endswith(".db")
+               else os.path.join(db_dir, "part-*.db"))
+    rdd = spark.sparkContext.binaryRecords(pattern, size)
+    # rec_id is a per-record identity (the `.db` layout carries no
+    # battle id) — teammate pairing must group per player record, not
+    # per timestamp (two battles may share a ts_ms).  monotonically_
+    # increasing_id is partition-local (no extra pass, unlike
+    # zipWithIndex) and uniqueness is all the pairing needs.
+    return (spark.createDataFrame(rdd.map(lambda b: (bytearray(b),)),
+                                  schema="row binary")
+            .withColumn("rec_id", F.monotonically_increasing_id()))
+
+
+def _u_le(col: F.Column, off: int, n: int) -> F.Column:
+    """Little-endian unsigned int read from a binary column: byte-wise
+    substring → hex → conv, composed with shifts (whole-stage codegen;
+    the JVM-side inverse of `_u_le_hex`)."""
+    def byte(i: int) -> F.Column:
+        return F.conv(F.hex(F.substring(col, off + 1 + i, 1)), 16, 10) \
+                .cast("long")
+
+    out = byte(0)
+    for i in range(1, n):
+        out = out + F.shiftleft(byte(i), 8 * i)
+    return out
+
+
+def _rev_map_expr(mapping: dict[str, int]) -> F.Column:
+    """index → id literal map (inverse of the encoder's lookups)."""
+    return F.create_map(
+        *chain.from_iterable((F.lit(v), F.lit(k))
+                             for k, v in sorted(mapping.items())))
+
+
+def decode_db(df, gen: int = 1):
+    """Decoded per-player-mon rows from `scan_db` output:
+    (ts_ms, turns, end_type, winner_side, lead, species, item, moves,
+    rpr, rprd) — one row per non-empty team slot of each player, the
+    unit `Binary.Stats.compute` iterates (binary.ts:282-316).  Players
+    without a rating (3 zero bytes) carry NULL rpr/rprd."""
+    lk = lookups()
+    sp_rev = _rev_map_expr(lk["species"])
+    mv_rev = _rev_map_expr(lk["moves"])
+    it_rev = _rev_map_expr(lk["items"])
+    N = 6 * SIZES[gen]
+    c = F.col("row")
+
+    def mon_struct(base: int, slot: int, side: int) -> F.Column:
+        off = base + slot * SIZES[gen]
+        sp_idx = _u_le(c, off, 1)
+        mv0 = off + (1 if gen == 1 else 2)
+        moves = F.filter(
+            F.array(*[F.try_element_at(mv_rev, _u_le(c, mv0 + j, 1)
+                                       .cast("int"))
+                      for j in range(4)]),
+            lambda m: m.isNotNull())
+        fields = [
+            F.lit(side).alias("side"),
+            F.lit(slot == 0).alias("lead"),
+            sp_idx.cast("int").alias("sp_idx"),
+            F.try_element_at(sp_rev, sp_idx.cast("int")).alias("species"),
+            moves.alias("moves"),
+        ]
+        if gen >= 2:
+            fields.append(F.try_element_at(
+                it_rev, _u_le(c, off + 1, 1).cast("int")).alias("item"))
+        return F.struct(*fields)
+
+    def rating(off_rpr: int, off_rprd: int):
+        rpr = _u_le(c, off_rpr, 2)
+        return (F.when(rpr != 0, rpr.cast("double")),
+                F.when(rpr != 0, _u_le(c, off_rprd, 1).cast("double")))
+
+    r1, d1 = rating(11, 13)
+    r2, d2 = rating(14, 16)
+    sides = F.array(
+        F.struct(F.lit(1).alias("side"), r1.alias("rpr"), d1.alias("rprd"),
+                 F.array(*[mon_struct(17, s, 1) for s in range(6)])
+                  .alias("mons")),
+        F.struct(F.lit(2).alias("side"), r2.alias("rpr"), d2.alias("rprd"),
+                 F.array(*[mon_struct(17 + N, s, 2) for s in range(6)])
+                  .alias("mons")))
+    return (df
+            .select("rec_id",
+                    _u_le(c, 0, 8).alias("ts_ms"),
+                    _u_le(c, 8, 2).cast("int").alias("turns"),
+                    _u_le(c, 10, 1).cast("int").alias("end_type"),
+                    F.explode(sides).alias("p"))
+            .select("rec_id", "ts_ms", "turns", "end_type",
+                    F.col("p.side").alias("winner_side"),
+                    "p.rpr", "p.rprd",
+                    F.explode(F.filter(F.col("p.mons"),
+                                       lambda m: m.getField("sp_idx") != 0))
+                     .alias("m"))
+            .select("rec_id", "ts_ms", "turns", "end_type", "winner_side",
+                    "rpr", "rprd", "m.*"))
+
+
+def stats_from_db(spark, db_dir: str, gen: int = 1, cutoff: int = 1500):
+    """`Binary.Stats.compute` (binary.ts:245-319) as Spark aggregates
+    over the scanned `.db`: per-species weighted usage + leads,
+    move×species, teammate co-occurrence (both directions, matching
+    `species_species[s][t] = (species_species[t][s] += w)`), and the
+    global totals.  Players without a rating or with zero weight are
+    skipped (binary.ts:283-287)."""
+    from stats_spark.functions.weights import weighting_expr
+
+    mons = (decode_db(scan_db(spark, db_dir, gen), gen)
+            .filter(F.col("rpr").isNotNull())
+            .withColumn("cutoff", F.lit(float(cutoff)))
+            .withColumn("w", weighting_expr("rpr", "rprd", "cutoff"))
+            .filter(F.col("w") != 0))
+    usage = (mons.groupBy("species")
+             .agg(F.sum("w").alias("usage_weighted"),
+                  F.sum(F.when(F.col("lead"), F.col("w")).otherwise(0.0))
+                   .alias("lead_weighted")))
+    totals = usage.agg(
+        F.sum("usage_weighted").alias("total_usage"),
+        F.sum("lead_weighted").alias("total_lead"))
+    move_species = (mons.select("species", "w",
+                                F.explode("moves").alias("move"))
+                    .groupBy("species", "move")
+                    .agg(F.sum("w").alias("weight")))
+    # unordered slot pairs via the same HOF idiom as A6 teammates —
+    # no self-join; emitted in both directions
+    team_lists = (mons.groupBy("rec_id", "winner_side", "w")
+                  .agg(F.collect_list("species").alias("team")))
+    pairs = F.flatten(F.expr(
+        "transform(team, (x, i) -> "
+        " transform(slice(team, 1, i), y -> "
+        "  array(struct(y as a, x as b), struct(x as a, y as b))))"))
+    teammates = (team_lists
+                 .select("w", F.explode(F.flatten(pairs)).alias("p"))
+                 .groupBy(F.col("p.a").alias("species"),
+                          F.col("p.b").alias("teammate"))
+                 .agg(F.sum("w").alias("weight")))
+    out = dict(mons=mons, usage=usage, totals=totals,
+               move_species=move_species, teammates=teammates)
+    if gen >= 2:
+        out["item_species"] = (mons.groupBy("species", "item")
+                               .agg(F.sum("w").alias("weight")))
+    return out
+
+
+# ---------------------------------------------------------------------
 # decoder (test-side; Binary.Log.decode / Team.decode, binary.ts:98-225)
 
 def decode_row(buf: bytes, gen: int = 1) -> dict:

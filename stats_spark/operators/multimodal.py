@@ -26,8 +26,8 @@ FEATURE_SCHEMA = ("media_id long, kind string, n_bytes int, "
                   "digest string, mean_byte double, feat array<float>")
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads)."""
+def synth_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic fake media rows (binary payloads)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -37,7 +37,38 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         rows.append((i, kind, bytearray(payload),
                      int(rng.integers(16, 256)), int(rng.integers(16, 256)),
                      int(rng.integers(100, 10_000))))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payloads)."""
+    return spark.createDataFrame(synth_rows(n, seed), schema=MEDIA_SCHEMA)
+
+
+def ensure_media_parquet(path: str, n: int = 64, seed: int = 42) -> str:
+    """Write the deterministic media table to parquet once (pyarrow,
+    no Spark needed) so the DuckDB oracle and the Spark query read the
+    SAME bytes — the media analog of the committed t2 corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        rows = synth_rows(n, seed)
+        table = pa.table({
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([bytes(r[2]) for r in rows], pa.binary()),
+            "width": pa.array([r[3] for r in rows], pa.int32()),
+            "height": pa.array([r[4] for r in rows], pa.int32()),
+            "duration_ms": pa.array([r[5] for r in rows], pa.int32()),
+        })
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def real_decode(payload: bytes, kind: str):
@@ -62,14 +93,22 @@ def extract_features(media: DataFrame) -> DataFrame:
     table spreads across executors regardless of source layout."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(bytes(p)) for p in pdf["payload"]]
+            payloads = [bytes(p) for p in pdf["payload"].tolist()]
+            feats = [decode_stub(p) for p in payloads]
             yield pd.DataFrame(dict(
                 media_id=pdf["media_id"],
                 kind=pdf["kind"],
-                n_bytes=[len(bytes(p)) for p in pdf["payload"]],
-                digest=[hashlib.sha256(bytes(p)).hexdigest()[:16]
-                        for p in pdf["payload"]],
-                mean_byte=[float(f[0]) for f in feats],
+                n_bytes=[len(p) for p in payloads],
+                # digest over the canonical UPPERCASE-hex rendering, so
+                # the twin is portable SQL: sha256(hex(payload)) in
+                # both Spark (sha2(hex(col),256)) and DuckDB
+                digest=[hashlib.sha256(p.hex().upper().encode())
+                        .hexdigest()[:16] for p in payloads],
+                # float64 mean of the raw bytes (sums of <=512 uint8
+                # are exact in float64, so DuckDB's avg reproduces it
+                # bit-for-bit)
+                mean_byte=[float(np.frombuffer(p, dtype=np.uint8).mean())
+                           for p in payloads],
                 feat=[f.tolist() for f in feats],
             ))
 

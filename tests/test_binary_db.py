@@ -195,3 +195,114 @@ def test_write_db_globally_sorted(spark, tmp_path):
     assert ts == sorted(ts)
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         assert json.load(f)["rows"] == 10
+
+
+# ---------------------------------------------------------------------
+# read side — Binary.Stats over the `.db` (binary.ts:245-319)
+
+def _py_stats(db_path, gen, cutoff):
+    """Pure-Python twin of Binary.Stats.compute over the test decoder —
+    the independent check for the distributed scan+aggregate path."""
+    from tests.oracle import weighting
+
+    usage, lead, moves, mates = {}, {}, {}, {}
+    tot_u = tot_l = 0.0
+    for rec in B.read_db(db_path, gen):
+        for player in (rec["winner"], rec["loser"]):
+            r = player.get("rating")
+            if not r:
+                continue  # binary.ts:283
+            w = weighting(float(r["rpr"]), float(r["rprd"]), cutoff)
+            if not w:
+                continue  # binary.ts:286
+            team = player["team"]
+            for idx, mon in enumerate(team):
+                s = mon["species"]
+                usage[s] = usage.get(s, 0.0) + w
+                tot_u += w
+                if idx == 0:
+                    lead[s] = lead.get(s, 0.0) + w
+                    tot_l += w
+                for mv in mon["moves"]:
+                    moves[(s, mv)] = moves.get((s, mv), 0.0) + w
+                for j in range(idx):
+                    t = team[j]["species"]
+                    # species_species[s][t] = (species_species[t][s] += w)
+                    mates[(s, t)] = mates.get((s, t), 0.0) + w
+                    mates[(t, s)] = mates.get((t, s), 0.0) + w
+    return usage, lead, moves, mates, tot_u, tot_l
+
+
+@pytest.fixture(scope="module")
+def t1_db(spark, t1, tmp_path_factory):
+    """Encode the whole t1 corpus as a gen-1 `.db` (ratings present on
+    ~80% of sides; decode truncates teams at empty slots)."""
+    from stats_spark.operators.parse import parse_battles
+    from stats_spark.sources import tables
+
+    battles = parse_battles(tables.load_transcripts(spark, t1),
+                            tables.load_conversations(spark, t1)) \
+        .filter("error IS NULL")
+    enc = B.encode_logs(battles, gen=1)
+    out = str(tmp_path_factory.mktemp("t1db"))
+    B.write_db(enc, out, gen=1, n_files=3)
+    db = os.path.join(out, "all.db")
+    B.concat_db(out, db)
+    return out, db
+
+
+def test_scan_db_row_count_and_splittable(spark, t1_db):
+    out, db = t1_db
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        meta = json.load(f)
+    df = B.scan_db(spark, out, gen=1)
+    assert df.count() == meta["rows"]
+    # the single concatenated .db reads back identically
+    assert B.scan_db(spark, db, gen=1).count() == meta["rows"]
+
+
+def test_decode_db_matches_python_decoder(spark, t1_db):
+    out, db = t1_db
+    rows = B.decode_db(B.scan_db(spark, out, gen=1), gen=1).collect()
+    # spot-check one full record against the python decoder
+    recs = B.read_db(db, gen=1)
+    by_ts = {}
+    for r in rows:
+        by_ts.setdefault((r.ts_ms, r.winner_side), []).append(r)
+    n_mons = sum(len(p["team"]) for rec in recs
+                 for p in (rec["winner"], rec["loser"]))
+    assert len(rows) == n_mons
+    rec = recs[0]
+    w_rows = sorted(by_ts[(rec["ts_ms"], 1)], key=lambda r: r.sp_idx)
+    assert {r.species for r in w_rows} >= {
+        m["species"] for m in rec["winner"]["team"]}
+
+
+def test_stats_from_db_matches_python_twin(spark, t1_db):
+    out, _db = t1_db
+    cutoff = 1500
+    frames = B.stats_from_db(spark, out, gen=1, cutoff=cutoff)
+    usage, lead, moves, mates, tot_u, tot_l = _py_stats(_db, 1, cutoff)
+
+    got_u = {r.species: (r.usage_weighted, r.lead_weighted)
+             for r in frames["usage"].collect()}
+    assert set(got_u) == set(usage)
+    for s, (uw, lw) in got_u.items():
+        assert uw == pytest.approx(usage[s], rel=1e-9)
+        assert lw == pytest.approx(lead.get(s, 0.0), rel=1e-9)
+
+    tot = frames["totals"].collect()[0]
+    assert tot.total_usage == pytest.approx(tot_u, rel=1e-9)
+    assert tot.total_lead == pytest.approx(tot_l, rel=1e-9)
+
+    got_m = {(r.species, r.move): r.weight
+             for r in frames["move_species"].collect()}
+    assert set(got_m) == set(moves)
+    for k, v in got_m.items():
+        assert v == pytest.approx(moves[k], rel=1e-9)
+
+    got_t = {(r.species, r.teammate): r.weight
+             for r in frames["teammates"].collect()}
+    assert set(got_t) == set(mates)
+    for k, v in got_t.items():
+        assert v == pytest.approx(mates[k], rel=1e-9)

@@ -51,3 +51,47 @@ def test_gxe_half_up():
     assert W.gxe_np(1500.0, 130.0) == 50.0
     v = float(W.gxe_np(1504.0, 130.0))
     assert v == math.floor(100 * W.victory_chance_np(1504.0, 130.0, 1500.0, 130.0) + 0.5)
+
+
+def test_canonicalize_format_rules():
+    """J5 — every branch of util.ts:261-275, rule for rule."""
+    from stats_spark.datagen.dims import canonicalize_format as c
+
+    # *current strip (slice(0, -7))
+    assert c("oucurrent") == "ou"
+    assert c("uucurrent") == "uu"
+    # pokebank* strip: slice(8, -4) removes the prefix AND a 4-char tail
+    assert c("pokebankoubeta") == "ou"
+    assert c("pokebankdoublesoubeta") == "doublesou"
+    # oras* strip
+    assert c("orasou") == "ou"
+    assert c("orasuu") == "uu"
+    # direct renames
+    assert c("capbeta") == "cap"
+    assert c("vgc2014beta") == "vgc2014"
+    assert c("battlespotdoubles") == "vgc2015"
+    assert c("battlespotdoublesvgc2015") == "vgc2015"
+    assert c("smogondoubles") == "doublesou"
+    assert c("smogondoublesubers") == "doublesubers"
+    assert c("smogondoublesuu") == "doublesuu"
+    # xybattlespot*beta strips only the beta suffix
+    assert c("xybattlespotsinglesbeta") == "xybattlespotsingles"
+    assert c("xybattlespotspecialbeta") == "xybattlespotspecial"
+    # rule chaining: oras strip exposes the capbeta rename
+    assert c("orascapbeta") == "cap"
+    # modern names pass through untouched
+    assert c("gen9ou") == "gen9ou"
+    assert c("gen9doublesou") == "gen9doublesou"
+
+
+def test_formats_table_carries_canonical_format():
+    from stats_spark.datagen import dims
+
+    t = dims.formats_table().set_index("format")["canonical_format"]
+    assert t["smogondoubles"] == "doublesou"
+    assert t["orasou"] == "ou"
+    assert t["pokebankoubeta"] == "ou"
+    assert t["uucurrent"] == "uu"
+    assert t["battlespotdoubles"] == "vgc2015"
+    assert t["capbeta"] == "cap"
+    assert t["gen9ou"] == "gen9ou"
