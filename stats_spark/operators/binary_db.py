@@ -112,15 +112,34 @@ def _map_expr(mapping: dict[str, int]) -> F.Column:
                              for k, v in sorted(mapping.items())))
 
 
+def _lookup(mapping: dict, default=0):
+    """id→index lookup as a CASE chain.  NOT a map literal: Catalyst
+    does not constant-fold CreateMap, so `element_at(map(...), key)`
+    rebuilds the whole MapData per row per site — measured ~60 µs per
+    lookup vs ~25 µs for the compiled CASE at bench scale (the encode
+    was lookup-bound, 2.5× end-to-end)."""
+    def look(key: F.Column) -> F.Column:
+        c = None
+        for k, v in sorted(mapping.items()):
+            c = F.when(key == k, v) if c is None else c.when(key == k, v)
+        return c.otherwise(F.lit(default))
+    return look
+
+
 def _u_le_hex(col: F.Column, n_bytes: int) -> F.Column:
-    """Little-endian unsigned int → 2·n hex chars, one byte at a time:
-    lpad(hex((x >> 8i) & 255)) for i = 0..n-1."""
-    parts = [
-        F.lpad(F.lower(F.hex(F.shiftright(col.cast("long"), 8 * i)
-                             .bitwiseAND(F.lit(255)))), 2, "0")
-        for i in range(n_bytes)
-    ]
-    return F.concat(*parts)
+    """Little-endian unsigned int → 2·n hex chars.  ONE hex() of the
+    whole value, byte-swapped by slicing the padded hex string — not
+    one hex()/lpad() chain per byte: the per-byte form costs ~10 string
+    allocations per byte per row and measured ~10× slower at bench
+    scale (string-op count dominates this encoder, not the lookups)."""
+    v = col.cast("long")
+    if n_bytes < 8:
+        v = v.bitwiseAND(F.lit((1 << (8 * n_bytes)) - 1))
+    h = F.lpad(F.lower(F.hex(v)), 2 * n_bytes, "0")
+    if n_bytes == 1:
+        return h
+    return F.concat(*[F.substring(h, 2 * (n_bytes - 1 - i) + 1, 2)
+                      for i in range(n_bytes)])
 
 
 def _zero_hex(n_bytes: int) -> F.Column:
@@ -139,49 +158,56 @@ def _rating_hex(rpr: F.Column, rprd: F.Column) -> F.Column:
     ).otherwise(_zero_hex(3))
 
 
-def _move_hex(mon, j: int, moves_map: F.Column, gen: int) -> F.Column:
-    mv = F.try_element_at(mon.getField("moves"), F.lit(j + 1))
-    if gen >= 2:
-        # gen-2 hidden power collapses to the base move id; the type
-        # rides in the trailing type byte (binary.ts:84-91 intent)
-        mv = F.when(mv.startswith("hiddenpower"),
-                    F.lit("hiddenpower")).otherwise(mv)
-    return F.when(mv.isNull(), F.lit("00")) \
-            .otherwise(_u_le_hex(F.coalesce(
-                F.try_element_at(moves_map, mv), F.lit(0)), 1))
-
-
-def _hp_type_hex(mon) -> F.Column:
+def _hp_type_num(mon) -> F.Column:
     """Gen-2 trailing type byte: the hidden-power type carried by any
     hiddenpower<type> move, else Normal (= 0)."""
     hp = F.filter(mon.getField("moves"),
                   lambda m: m.startswith("hiddenpower") & (m != "hiddenpower"))
     t = F.substring(F.try_element_at(hp, F.lit(1)), len("hiddenpower") + 1, 99)
-    type_map = _map_expr(TYPE_NUM)
-    return F.when(
-        F.size(hp) > 0,
-        _u_le_hex(F.coalesce(F.try_element_at(type_map, t), F.lit(0)), 1),
-    ).otherwise(F.lit("00"))
+    return F.when(F.size(hp) > 0, _lookup(TYPE_NUM)(t)) \
+            .otherwise(F.lit(0)).cast("long")
 
 
-def _mon_hex(team: F.Column, slot: int, maps: dict, gen: int) -> F.Column:
-    mon = F.try_element_at(team, F.lit(slot + 1))
-    sp = _u_le_hex(F.coalesce(
-        F.try_element_at(maps["species"], mon.getField("species")), F.lit(0)), 1)
-    mvs = [_move_hex(mon, j, maps["moves"], gen) for j in range(4)]
-    if gen == 1:
-        body = F.concat(sp, *mvs)
-    else:
-        item = mon.getField("item")
-        it = F.when(item.isNull() | (item == "nothing"), F.lit("00")) \
-              .otherwise(_u_le_hex(F.coalesce(
-                  F.try_element_at(maps["items"], item), F.lit(0)), 1))
-        body = F.concat(sp, it, *mvs, _hp_type_hex(mon))
-    return F.when(mon.isNull(), _zero_hex(SIZES[gen])).otherwise(body)
+def _mon_hex_fn(maps: dict, gen: int):
+    """Per-element encoder used inside the team `transform` — each CASE
+    lookup appears ONCE in the expression tree (shared by every slot /
+    move via the lambda) instead of once per site, so plan size stays
+    linear in the dim size rather than slots × dims (per-site inlining
+    made analysis + codegen the dominant cost on small inputs).  The
+    slot's bytes pack big-endian into ONE long, hex'd once (5 or 7
+    bytes fit a long) — stream order sp[,item],mv1..4[,hptype]."""
+    def fn(mon: F.Column) -> F.Column:
+        mv_in = mon.getField("moves")
+        if gen >= 2:
+            # gen-2 hidden power collapses to the base move id; the
+            # type rides in the trailing type byte (binary.ts:84-91)
+            mv_in = F.transform(
+                mv_in, lambda m: F.when(m.startswith("hiddenpower"),
+                                        F.lit("hiddenpower")).otherwise(m))
+        mv_ids = F.transform(mv_in, lambda m: maps["moves"](m))
+        parts = [maps["species"](mon.getField("species")).cast("long")]
+        if gen >= 2:
+            item = mon.getField("item")
+            parts.append(
+                F.when(item.isNull() | (item == "nothing"), F.lit(0))
+                 .otherwise(maps["items"](item)).cast("long"))
+        parts += [F.coalesce(F.try_element_at(mv_ids, F.lit(j + 1)),
+                             F.lit(0)).cast("long") for j in range(4)]
+        if gen >= 2:
+            parts.append(_hp_type_num(mon))
+        val = parts[0]
+        for p in parts[1:]:
+            val = F.shiftleft(val, 8) + p
+        return F.lpad(F.lower(F.hex(val)), 2 * SIZES[gen], "0")
+    return fn
 
 
 def _team_hex(team: F.Column, maps: dict, gen: int) -> F.Column:
-    return F.concat(*[_mon_hex(team, s, maps, gen) for s in range(6)])
+    """6-slot team → 2·6·Sizes[gen] hex chars; absent slots zero-fill
+    via rpad (binary.ts:107 — the first empty slot ends the team)."""
+    hexes = F.transform(team, _mon_hex_fn(maps, gen))
+    return F.rpad(F.coalesce(F.array_join(hexes, ""), F.lit("")),
+                  2 * 6 * SIZES[gen], "0")
 
 
 def _end_type_expr(winner: F.Column, end_type: F.Column | None) -> F.Column:
@@ -205,7 +231,7 @@ def encode_logs(battles: DataFrame, gen: int = 1) -> DataFrame:
     (binary.ts:160-161)."""
     if gen not in SIZES:
         raise ValueError(f"Unsupported gen {gen}")  # binary.ts:156
-    maps = {k: _map_expr(v) for k, v in lookups().items()}
+    maps = {k: _lookup(v) for k, v in lookups().items()}
     # the parse stage normalizes winner to p1/p2/tie (P2); raw frames
     # may still carry the player name (binary.ts:160 compares names)
     w_is_p2 = F.col("winner") == "p2"
@@ -248,7 +274,13 @@ def write_db(encoded: DataFrame, out_dir: str, gen: int = 1,
     single sorted `.db` stream.  Returns the manifest."""
     os.makedirs(out_dir, exist_ok=True)
     size = row_size(gen)
-    sorted_df = (encoded.select("ts_ms", "row")
+    # materialize the compact (ts_ms, row) pairs ONCE before the range
+    # exchange: repartitionByRange adds a boundary-sampling pass, and
+    # without this the heavy hex-encode lineage runs twice (measured
+    # 2× the encode cost at bench scale)
+    compact = encoded.select("ts_ms", "row").persist()
+    compact.count()
+    sorted_df = (compact
                  .repartitionByRange(n_files, "ts_ms")
                  .sortWithinPartitions("ts_ms"))
 
@@ -277,6 +309,7 @@ def write_db(encoded: DataFrame, out_dir: str, gen: int = 1,
             dump, "part int, path string, rows long, min_ts long, "
                   "max_ts long").collect()),
         key=lambda m: m["part"])
+    compact.unpersist()
     meta = dict(gen=gen, row_size=size, parts=manifest,
                 rows=sum(m["rows"] for m in manifest))
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
@@ -334,11 +367,10 @@ def _u_le(col: F.Column, off: int, n: int) -> F.Column:
     return out
 
 
-def _rev_map_expr(mapping: dict[str, int]) -> F.Column:
-    """index → id literal map (inverse of the encoder's lookups)."""
-    return F.create_map(
-        *chain.from_iterable((F.lit(v), F.lit(k))
-                             for k, v in sorted(mapping.items())))
+def _rev_lookup(mapping: dict[str, int]):
+    """index → id lookup (inverse of the encoder's); CASE chain for the
+    same non-folding reason as `_lookup`, NULL for unknown indexes."""
+    return _lookup({v: k for k, v in mapping.items()}, default=None)
 
 
 def decode_db(df, gen: int = 1):
@@ -348,31 +380,24 @@ def decode_db(df, gen: int = 1):
     unit `Binary.Stats.compute` iterates (binary.ts:282-316).  Players
     without a rating (3 zero bytes) carry NULL rpr/rprd."""
     lk = lookups()
-    sp_rev = _rev_map_expr(lk["species"])
-    mv_rev = _rev_map_expr(lk["moves"])
-    it_rev = _rev_map_expr(lk["items"])
     N = 6 * SIZES[gen]
     c = F.col("row")
 
+    # stage 1: pure byte slicing — INT indexes only, so the plan holds
+    # no lookup CASEs here (12 slots × 5 ids inlined per-site would
+    # make analysis/codegen quadratic; see _mon_hex_fn)
     def mon_struct(base: int, slot: int, side: int) -> F.Column:
         off = base + slot * SIZES[gen]
-        sp_idx = _u_le(c, off, 1)
         mv0 = off + (1 if gen == 1 else 2)
-        moves = F.filter(
-            F.array(*[F.try_element_at(mv_rev, _u_le(c, mv0 + j, 1)
-                                       .cast("int"))
-                      for j in range(4)]),
-            lambda m: m.isNotNull())
         fields = [
             F.lit(side).alias("side"),
             F.lit(slot == 0).alias("lead"),
-            sp_idx.cast("int").alias("sp_idx"),
-            F.try_element_at(sp_rev, sp_idx.cast("int")).alias("species"),
-            moves.alias("moves"),
+            _u_le(c, off, 1).cast("int").alias("sp_idx"),
+            F.array(*[_u_le(c, mv0 + j, 1).cast("int") for j in range(4)])
+             .alias("mv_idx"),
         ]
         if gen >= 2:
-            fields.append(F.try_element_at(
-                it_rev, _u_le(c, off + 1, 1).cast("int")).alias("item"))
+            fields.append(_u_le(c, off + 1, 1).cast("int").alias("it_idx"))
         return F.struct(*fields)
 
     def rating(off_rpr: int, off_rprd: int):
@@ -389,20 +414,35 @@ def decode_db(df, gen: int = 1):
         F.struct(F.lit(2).alias("side"), r2.alias("rpr"), d2.alias("rprd"),
                  F.array(*[mon_struct(17 + N, s, 2) for s in range(6)])
                   .alias("mons")))
-    return (df
-            .select("rec_id",
-                    _u_le(c, 0, 8).alias("ts_ms"),
-                    _u_le(c, 8, 2).cast("int").alias("turns"),
-                    _u_le(c, 10, 1).cast("int").alias("end_type"),
-                    F.explode(sides).alias("p"))
-            .select("rec_id", "ts_ms", "turns", "end_type",
-                    F.col("p.side").alias("winner_side"),
-                    "p.rpr", "p.rprd",
-                    F.explode(F.filter(F.col("p.mons"),
-                                       lambda m: m.getField("sp_idx") != 0))
-                     .alias("m"))
-            .select("rec_id", "ts_ms", "turns", "end_type", "winner_side",
-                    "rpr", "rprd", "m.*"))
+    exploded = (df
+                .select("rec_id",
+                        _u_le(c, 0, 8).alias("ts_ms"),
+                        _u_le(c, 8, 2).cast("int").alias("turns"),
+                        _u_le(c, 10, 1).cast("int").alias("end_type"),
+                        F.explode(sides).alias("p"))
+                .select("rec_id", "ts_ms", "turns", "end_type",
+                        F.col("p.side").alias("winner_side"),
+                        "p.rpr", "p.rprd",
+                        F.explode(F.filter(
+                            F.col("p.mons"),
+                            lambda m: m.getField("sp_idx") != 0))
+                         .alias("m"))
+                .select("rec_id", "ts_ms", "turns", "end_type",
+                        "winner_side", "rpr", "rprd", "m.*"))
+    # stage 2: index → id resolution AFTER the explode — each reverse
+    # CASE appears exactly once in the tree
+    sp_rev = _rev_lookup(lk["species"])
+    mv_rev = _rev_lookup(lk["moves"])
+    out = (exploded
+           .withColumn("species", sp_rev(F.col("sp_idx")))
+           .withColumn("moves", F.filter(
+               F.transform("mv_idx", lambda i: mv_rev(i)),
+               lambda m: m.isNotNull()))
+           .drop("mv_idx"))
+    if gen >= 2:
+        out = out.withColumn("item", _rev_lookup(lk["items"])(
+            F.col("it_idx"))).drop("it_idx")
+    return out
 
 
 def stats_from_db(spark, db_dir: str, gen: int = 1, cutoff: int = 1500):
