@@ -127,6 +127,28 @@ def main():
     check("viability (window rank)", frames["viability"],
           wants=("Window",))
 
+    # binary DB: encode is a pure column projection (no Python, no
+    # joins); the read side decodes the splittable fixed-width scan
+    # with column expressions into partial+final hash aggregation
+    from stats_spark.operators import binary_db as B
+    import os as _os, tempfile as _tf
+    # encode from the battles CHECKPOINT (the production shape — the
+    # parse cogroup join belongs to the upstream lineage, not encode)
+    _bpath = _os.path.join(_tf.gettempdir(), "plan_audit_battles")
+    battles.filter("error IS NULL").write.mode("overwrite").parquet(_bpath)
+    _bt = spark.read.parquet(_bpath)
+    check("binary_db encode (pure projection)",
+          B.encode_logs(_bt, gen=1),
+          forbids=("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython", "Join"))
+    _dbdir = _os.path.join(_tf.gettempdir(), "plan_audit_db")
+    B.write_db(B.encode_logs(_bt, gen=1), _dbdir, gen=1, n_files=2)
+    check("binary_db stats (fixed-width scan → agg)",
+          B.stats_from_db(spark, _dbdir, gen=1)["usage"],
+          wants=("HashAggregate",),
+          forbids=("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython"))
+
     # dedup/similarity: equi-joins only
     check("minhash_lsh_pairs", dedup.minhash_lsh_pairs(docs))
     check("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs(docs))

@@ -13,7 +13,7 @@ shared-host frequency scaling):
     traffic, no JVM — runs at BOTH concurrency levels immediately
     before and after every measured leg;
   * a leg is CLEAN only if all four bracketing sentinel readings are
-    within TOL (default 3%) of the session-best reading at that
+    within TOL (default 5%) of the session-best reading at that
     concurrency, i.e. the leg ran in a window where the machine was as
     fast as it ever was this session — loaded-window legs are
     DISCARDED by protocol, not normalized after the fact;
@@ -30,7 +30,7 @@ on a turbo host and is the figure a real N→4N scale-out (more hosts,
 constant clocks) does not pay — but the headline number is RAW.
 
 Usage: python scripts/scaling.py [n_convs] [low_cores] [high_cores]
-Env:   SCALING_N_CLEAN (3)  SCALING_TOL (0.03)
+Env:   SCALING_N_CLEAN (3)  SCALING_TOL (0.05)
        SCALING_BUDGET_S (7200)  SCALING_MAX_LEGS (12)
 """
 
@@ -77,7 +77,7 @@ def _BURN(n):
     return s
 
 
-def cpu_reference(procs: int, n: int = 30_000_000) -> float:
+def cpu_reference(procs: int, n: int = 50_000_000) -> float:
     """Per-core speed at this concurrency: wall time for EQUAL work per
     process (pure CPU, no memory traffic).  Sensitive to both neighbor
     load (stolen cycles) and shared/turbo frequency scaling."""
@@ -127,7 +127,7 @@ def main():
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_clean = int(os.environ.get("SCALING_N_CLEAN", "3"))
-    tol = float(os.environ.get("SCALING_TOL", "0.03"))
+    tol = float(os.environ.get("SCALING_TOL", "0.05"))
     budget = float(os.environ.get("SCALING_BUDGET_S", "7200"))
     max_legs = int(os.environ.get("SCALING_MAX_LEGS", "12"))
 
@@ -145,6 +145,8 @@ def main():
     t_start = time.time()
     # legs: [{level, run, pre, post}] — pre/post are sentinel samples
     legs = []
+    sentinel(low, high)  # warm-up: the first sample after the corpus
+    #                      JVM teardown reads hot/loaded — discard it
     samples = [sentinel(low, high)]  # session-wide sentinel history
 
     def clean_counts():
@@ -162,13 +164,24 @@ def main():
         counts, _ = clean_counts()
         if counts[low] >= n_clean and counts[high] >= n_clean:
             break
-        if len(legs) >= max_legs or time.time() - t_start > budget:
+        have = {lv: sum(1 for g in legs if g["level"] == lv)
+                for lv in (low, high)}
+        if ((len(legs) >= max_legs or time.time() - t_start > budget)
+                and have[low] > 0 and have[high] > 0):
             print(f"WARNING: stopping with clean counts {counts} "
                   f"(target {n_clean} per level)", file=sys.stderr)
             break
-        # run whichever level is short on clean legs so a late clean
-        # window fills the real gap (ties go to the low level)
-        level = low if counts[low] <= counts[high] else high
+        # a level with NO legs at all outranks everything (the report
+        # needs at least one leg per level); then whichever level is
+        # short on clean legs (ties go to the low level)
+        if have[low] == 0 or have[high] == 0:
+            level = low if have[low] == 0 else high
+        elif counts[low] != counts[high]:
+            level = low if counts[low] < counts[high] else high
+        else:
+            # clean-count tie: alternate by total legs run, so a
+            # sustained noise burst can't contaminate only one level
+            level = low if have[low] <= have[high] else high
         pre = samples[-1]
         run = run_level(level, n_convs)
         post = sentinel(low, high)
