@@ -132,6 +132,19 @@ def _species_in_sql() -> str:
     return "(" + ", ".join(f"'{s}'" for s in ids) + ")"
 
 
+def _canon_sql(col: str = "format") -> str:
+    """J5 canonicalizeFormat as a CASE literal over the known format
+    universe — the oracle twin of enrich.canonical_format_col().  The
+    pipeline keys every aggregate by the canonical name
+    (workflows/smogon/stats.ts:124-130), so the battle-checkpoint
+    oracles re-key the same way."""
+    d = _dims()
+    return ("CASE " + col + " " + "".join(
+        f"WHEN '{f}' THEN '{d.canonicalize_format(f)}' "
+        for f, *_ in d.FORMATS if d.canonicalize_format(f) != f)
+        + "ELSE " + col + " END")
+
+
 def _rejects_cte() -> str:
     """conv_ids the parser quarantines (P8 subset reachable in the
     generated corpus: malformed move/switch lines, unknown species).
@@ -207,16 +220,16 @@ def _weighted_mons_cte() -> str:
 
     side = """
   sides AS (
-    SELECT conv_id, format, turns,
+    SELECT conv_id, {canon} AS format, turns,
            CASE WHEN winner = p1 THEN 1 WHEN winner = p2 THEN -1 ELSE 0 END AS outcome,
            p1_rating_rpr AS rpr, p1_rating_rprd AS rprd, p1_team AS team
     FROM {cv} WHERE format IN {acc} AND conv_id NOT IN (SELECT conv_id FROM rejects)
     UNION ALL
-    SELECT conv_id, format, turns,
+    SELECT conv_id, {canon}, turns,
            CASE WHEN winner = p2 THEN 1 WHEN winner = p1 THEN -1 ELSE 0 END,
            p2_rating_rpr, p2_rating_rprd, p2_team
     FROM {cv} WHERE format IN {acc} AND conv_id NOT IN (SELECT conv_id FROM rejects)
-  )""".format(cv=CV, acc=_accepted_sql())
+  )""".format(cv=CV, acc=_accepted_sql(), canon=_canon_sql())
     eff = f"""
   eff AS (
     SELECT conv_id, format, turns,
@@ -1177,10 +1190,20 @@ def oracle_sql() -> dict[str, str]:
              round(sum(w), 6) AS raw_weight
       FROM monsw GROUP BY 1, 2, 3"""
 
+    # extended with canonical names: the aggregates key/gate by the
+    # CANONICAL format (see _canon_sql), and flags are consistent per
+    # canonical group, so one superset serves raw and canonical sites
+    _d = _dims()
     non_singles = "(" + ", ".join(
-        f"'{f}'" for f in sorted(_dims().NON_SINGLES_FORMATS)) + ")"
+        f"'{f}'" for f in sorted(
+            _d.NON_SINGLES_FORMATS
+            | {_d.canonicalize_format(f)
+               for f in _d.NON_SINGLES_FORMATS})) + ")"
     non_6v6 = "(" + ", ".join(
-        f"'{f}'" for f in sorted(_dims().NON_6V6_FORMATS)) + ")"
+        f"'{f}'" for f in sorted(
+            _d.NON_6V6_FORMATS
+            | {_d.canonicalize_format(f)
+               for f in _d.NON_6V6_FORMATS})) + ")"
     short = (f"(format NOT IN {non_6v6} AND (turns < 2 OR "
              f"(turns < 3 AND format NOT IN {non_singles})))")
     sql["tr_usage_report"] = f"""
@@ -1234,7 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         FROM first_sw f JOIN teams t
           ON t.conv_id = f.conv_id AND t.side = f.side
          AND (t.species = f.disp_id OR t.species LIKE f.disp_id || '%'))
-      SELECT format, species, count(*) AS lead_raw
+      SELECT {_canon_sql()} AS format, species, count(*) AS lead_raw
       FROM resolved
       WHERE rn = 1 AND format IN {acc}
         AND format NOT IN {non_singles}
@@ -1359,7 +1382,7 @@ def oracle_sql() -> dict[str, str]:
     sql["tr_moveset"] = f"""
       WITH {_rejects_cte()},
       sides AS (
-        SELECT conv_id, format,
+        SELECT conv_id, {_canon_sql()} AS format,
                CASE WHEN winner = p1 THEN 1 WHEN winner = p2 THEN -1
                     ELSE 0 END AS outcome,
                p1_rating_rpr AS rpr, p1_rating_rprd AS rprd,
@@ -1367,7 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         FROM {CV} WHERE format IN {acc}
           AND conv_id NOT IN (SELECT conv_id FROM rejects)
         UNION ALL
-        SELECT conv_id, format,
+        SELECT conv_id, {_canon_sql()},
                CASE WHEN winner = p2 THEN 1 WHEN winner = p1 THEN -1
                     ELSE 0 END,
                p2_rating_rpr, p2_rating_rprd, p2_team
@@ -1438,7 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         _sg.effective_rprd_sql("rpr", "rprd", "outcome"), cut)
     sql["tr_metagame"] = f"""
       WITH {_body}
-      SELECT format, c.cutoff AS cutoff, tag,
+      SELECT {_canon_sql()} AS format, c.cutoff AS cutoff, tag,
              round(sum({_w_at('c.cutoff')} * team_size), 6) AS weight
       FROM (SELECT format, turns, outcome, rpr, rprd, team_size,
                    unnest(tags) AS tag
@@ -1456,7 +1479,7 @@ def oracle_sql() -> dict[str, str]:
                  unnest(flatten([['total'], tags])) AS tag
           FROM side_class) t
           ON m.conv_id = t.conv_id AND m.side = t.side)
-      SELECT format, tag, species, count(*) AS raw_count,
+      SELECT {_canon_sql()} AS format, tag, species, count(*) AS raw_count,
              round(sum(CASE WHEN NOT {_short}
                             THEN {_w_at('1500')} ELSE 0.0 END), 6)
                AS usage_weighted
@@ -1470,14 +1493,14 @@ def oracle_sql() -> dict[str, str]:
     sql["tr_viability"] = f"""
       WITH {_rejects_cte()},
       sides AS (
-        SELECT conv_id, format,
+        SELECT conv_id, {_canon_sql()} AS format,
                regexp_replace(lower(p1), '[^a-z0-9]+', '', 'g') AS player,
                p1_rating_rpr AS rpr, p1_rating_rprd AS rprd,
                p1_team AS team
         FROM {CV} WHERE format IN {acc}
           AND conv_id NOT IN (SELECT conv_id FROM rejects)
         UNION ALL
-        SELECT conv_id, format,
+        SELECT conv_id, {_canon_sql()},
                regexp_replace(lower(p2), '[^a-z0-9]+', '', 'g'),
                p2_rating_rpr, p2_rating_rprd, p2_team
         FROM {CV} WHERE format IN {acc}
@@ -1509,13 +1532,13 @@ def oracle_sql() -> dict[str, str]:
     sql["tr_teammate_pairs"] = f"""
       WITH {_rejects_cte()},
       teams AS (
-        SELECT conv_id, format, turns, 'p1' AS side,
+        SELECT conv_id, {_canon_sql()} AS format, turns, 'p1' AS side,
                generate_subscripts(p1_team, 1) AS slot,
                {_mega_case_sql('unnest(p1_team).species', 'unnest(p1_team).item')} AS species
         FROM {CV} WHERE format IN {acc}
           AND conv_id NOT IN (SELECT conv_id FROM rejects)
         UNION ALL
-        SELECT conv_id, format, turns, 'p2',
+        SELECT conv_id, {_canon_sql()}, turns, 'p2',
                generate_subscripts(p2_team, 1),
                {_mega_case_sql('unnest(p2_team).species', 'unnest(p2_team).item')}
         FROM {CV} WHERE format IN {acc}
@@ -1565,7 +1588,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tr_encounters"] = f"""
       WITH b AS (
-        SELECT format, matchups,
+        SELECT {_canon_sql()} AS format, matchups,
                least({_w1500('p1')}, {_w1500('p2')}) AS w
         FROM {_battles_glob()}
         WHERE error IS NULL AND format IN {acc}

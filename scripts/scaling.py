@@ -120,6 +120,22 @@ def shutdown_gateway():
             SparkContext._jvm = None
     except Exception as e:  # surface, don't silently bias the protocol
         print(f"WARNING: gateway shutdown failed: {e!r}", file=sys.stderr)
+    # gateway.shutdown() closes the Py4J socket but the JVM has been
+    # observed to linger (measured: ~1.5% CPU of idle GC threads for
+    # 20+ min) — SIGKILL any java child of this process directly
+    import signal
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+            if parts[3] == str(os.getpid()) and "java" in parts[1]:
+                os.kill(int(pid), signal.SIGKILL)
+                os.waitpid(int(pid), os.WNOHANG)
+                print(f"killed lingering JVM {pid}", file=sys.stderr)
+        except (OSError, IndexError, ChildProcessError):
+            continue
 
 
 def main():

@@ -28,6 +28,21 @@ from stats_spark.functions.weights import (gxe_expr, weighting_expr, WIN_RPR,
                                            DEFAULT_RPR, DEFAULT_RPRD)
 
 
+# Gate sets extended with the canonical names of flagged formats: the
+# pipeline canonicalizes the format column after the accept filter
+# (workflows/smogon/stats.ts:124), so e.g. ``battlespotdoubles`` rows
+# reach the gates as ``vgc2015`` — the reference's own NON_6V6 /
+# NON_SINGLES sets likewise list canonical names (util.ts:101-257).
+# Defined here rather than in datagen.dims because dims.py is part of
+# the corpus version hash (generation code only).
+NON_SINGLES_FORMATS = frozenset(
+    dims.NON_SINGLES_FORMATS
+    | {dims.canonicalize_format(f) for f in dims.NON_SINGLES_FORMATS})
+NON_6V6_FORMATS = frozenset(
+    dims.NON_6V6_FORMATS
+    | {dims.canonicalize_format(f) for f in dims.NON_6V6_FORMATS})
+
+
 def dim_species_df(spark) -> DataFrame:
     return spark.createDataFrame(dims.species_table())
 
@@ -53,6 +68,74 @@ def rejected_battles(battles: DataFrame) -> DataFrame:
     return battles.filter(F.col("error").isNotNull())
 
 
+def canonical_format_map_col(col: str = "format"):
+    """Closed-world fast path for J5: the canonicalizeFormat rules
+    precomputed over the known format universe as a literal-map lookup
+    — one small expression in a single projection.  The general rule
+    pipeline (canonicalize_format_df below) handles arbitrary names
+    but costs five full-width projections, which was measured to blow
+    the enrichment stage's generated method past janino's 64 KB limit
+    (the battle schema's team struct arrays are re-emitted per step).
+    Exact within any accept-filtered frame: the accept list and this
+    map are built from the same dims.FORMATS universe, and the rule
+    content itself lives in dims.canonicalize_format (unit-tested on
+    every branch of util.ts:261-275)."""
+    pairs = []
+    for f, *_ in dims.FORMATS:
+        c = dims.canonicalize_format(f)
+        if c != f:
+            pairs += [F.lit(f), F.lit(c)]
+    m = F.create_map(*pairs)
+    # try_element_at: null (not an ANSI error) on a non-rewritten name
+    return F.coalesce(F.try_element_at(m, F.col(col)), F.col(col))
+
+
+def canonicalize_format_df(df: DataFrame, col: str = "format") -> DataFrame:
+    """J5 ``canonicalizeFormat`` (util.ts:261-275) as pure column
+    expressions — whole-stage codegen, no UDF, no join.  The reference
+    applies it at the workflow layer before gen routing / cutoff
+    selection / aggregation keying (workflows/smogon/stats.ts:124-130),
+    so historical-era names merge into their modern report trees
+    (``orasou`` → ``ou``, ``smogondoubles`` → ``doublesou``, …).
+
+    The three strip rules apply sequentially (matching the TS flow),
+    then the exact-name rewrites fire on the stripped value.  Note the
+    TS ``slice(8, -4)`` for the ``pokebank`` prefix strips the
+    trailing 4 chars unconditionally — the quirk is preserved.
+
+    Each step lands in its own projected column rather than one nested
+    CASE expression: a single-Column version references the previous
+    step three times per rule (condition, rewrite, passthrough), which
+    cubes the expression tree per level and was measured to blow the
+    generated method past janino's 64 KB limit, knocking the whole
+    enrichment stage out of whole-stage codegen.  Multi-use aliases
+    are NOT collapsed by CollapseProject, so this form stays linear."""
+    tmp = "_canon_fmt"
+    s = F.col(col)
+    df = df.withColumn(tmp, F.when(
+        s.endswith("current"),
+        s.substr(F.lit(1), F.length(s) - 7)).otherwise(s))
+    t = F.col(tmp)
+    df = df.withColumn(tmp, F.when(
+        t.startswith("pokebank"),
+        t.substr(F.lit(9), F.length(t) - 12)).otherwise(t))
+    df = df.withColumn(tmp, F.when(
+        t.startswith("oras"),
+        t.substr(F.lit(5), F.length(t) - 4)).otherwise(t))
+    df = df.withColumn(tmp, F.when(
+        t.startswith("xybattlespot") & t.endswith("beta"),
+        t.substr(F.lit(1), F.length(t) - 4)).otherwise(t))
+    return (df.withColumn(col, F.when(t == "capbeta", F.lit("cap"))
+              .when(t == "vgc2014beta", F.lit("vgc2014"))
+              .when(t.isin("battlespotdoubles", "battlespotdoublesvgc2015"),
+                    F.lit("vgc2015"))
+              .when(t == "smogondoubles", F.lit("doublesou"))
+              .when(t == "smogondoublesubers", F.lit("doublesubers"))
+              .when(t == "smogondoublesuu", F.lit("doublesuu"))
+              .otherwise(t))
+            .drop(tmp))
+
+
 def sides_from_battles(battles: DataFrame,
                        non_singles: set | None = None,
                        non_6v6: set | None = None) -> DataFrame:
@@ -70,8 +153,8 @@ def sides_from_battles(battles: DataFrame,
             F.col(f"lead_{s}").alias("lead"),
         ) for s in ("p1", "p2")
     ]
-    non_6v6 = sorted(dims.NON_6V6_FORMATS if non_6v6 is None else non_6v6)
-    non_singles = sorted(dims.NON_SINGLES_FORMATS if non_singles is None
+    non_6v6 = sorted(NON_6V6_FORMATS if non_6v6 is None else non_6v6)
+    non_singles = sorted(NON_SINGLES_FORMATS if non_singles is None
                          else non_singles)
     singles = ~F.col("format").isin(non_singles)
     # short-battle gate — stats.ts:134-136

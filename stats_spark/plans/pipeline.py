@@ -67,8 +67,13 @@ def cutoffs_for(fmt: str, date: str) -> list[int]:
 
 
 def cutoff_map(date: str, formats: list[str] | None = None) -> dict:
-    fmts = formats or [f for f, *_ in dims.FORMATS]
-    return {f: cutoffs_for(f, date) for f in fmts}
+    # the pipeline keys battles by CANONICAL format (J5), so the map
+    # carries canonical names alongside the raw ones — the reference
+    # likewise computes cutoffsFor(canonicalizeFormat(batch.format))
+    # (workflows/smogon/stats.ts:124-130)
+    fmts = set(formats or [f for f, *_ in dims.FORMATS])
+    fmts |= {dims.canonicalize_format(f) for f in fmts}
+    return {f: cutoffs_for(f, date) for f in sorted(fmts)}
 
 
 # the columns every battles_w consumer (encounters / leads /
@@ -84,8 +89,8 @@ def battles_weighted(battles: DataFrame,
                      non_6v6: set | None = None) -> DataFrame:
     """Battle × cutoff frame with both sides' weights and gate flags —
     feeds encounters / leads / battle counts."""
-    non_6v6 = sorted(dims.NON_6V6_FORMATS if non_6v6 is None else non_6v6)
-    non_singles = sorted(dims.NON_SINGLES_FORMATS if non_singles is None
+    non_6v6 = sorted(enrich.NON_6V6_FORMATS if non_6v6 is None else non_6v6)
+    non_singles = sorted(enrich.NON_SINGLES_FORMATS if non_singles is None
                          else non_singles)
     singles = ~F.col("format").isin(non_singles)
     short = (~F.col("format").isin(non_6v6)
@@ -166,7 +171,14 @@ def build_frames(spark: SparkSession, battles: DataFrame,
                 rd = rd.repartition(par)
             return rd
 
-    ok = enrich.accepted_battles(battles)
+    # J5: all downstream routing — gates, cutoffs, aggregation keys,
+    # sink partitions — uses the CANONICAL format name, so historical
+    # eras merge into their modern trees exactly as the reference's
+    # setupApply does (workflows/smogon/stats.ts:124-130).  The accept
+    # filter stays on the raw name (it runs upstream of
+    # canonicalization in the reference too: logs/src/worker.ts:25-28).
+    ok = (enrich.accepted_battles(battles)
+          .withColumn("format", enrich.canonical_format_map_col()))
     # battles is compact on disk (a 150k-conversation checkpoint is a
     # few dozen MB) so the scan yields only 1-2 input partitions — but
     # each row fans out ×48 downstream (2 sides × 6 mons × 4 cutoffs).
@@ -261,7 +273,10 @@ def build_frames(spark: SparkSession, battles: DataFrame,
                  if cache else []),
         _mons_w=mons_w, _sides_w=sides_w, _battles_w=battles_w,
         battles=battles,
-        rejects=enrich.rejected_battles(battles),
+        # rejects key canonical too — the reference counts parse
+        # rejects under the canonicalized batch format
+        rejects=enrich.rejected_battles(battles)
+               .withColumn("format", enrich.canonical_format_map_col()),
         usage=usage,
         usage_tagged=usage_tagged,
         usage_totals=agg.usage_totals(usage),

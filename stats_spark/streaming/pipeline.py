@@ -206,6 +206,8 @@ def stream_usage(battles_stream: DataFrame,
         F.col("error").isNull()
         & F.col("format").isin([f for f, *_ in dims.FORMATS
                                 if dims.accept_format(f)]))
+    # J5: key by canonical format, same as the batch build_frames
+    ok = ok.withColumn("format", enrich.canonical_format_map_col())
     sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
     mons = (sides.select("conv_id", "format", "side", "short", "outcome",
                          "rating_valid", "eff_rpr", "eff_rprd",

@@ -29,6 +29,14 @@ from stats_spark.operators.parse import (INVERSE_OUTCOMES, make_dims_payload,
 LOG3_LOG2 = math.log(3) / math.log(2)
 STATS = ["hp", "atk", "def", "spa", "spd", "spe"]
 
+# canonical-aware gate sets (twin of enrich.NON_*_FORMATS, duplicated
+# here so the oracle stays pyspark-free)
+_NON_SINGLES = (dims.NON_SINGLES_FORMATS
+                | {dims.canonicalize_format(f)
+                   for f in dims.NON_SINGLES_FORMATS})
+_NON_6V6 = (dims.NON_6V6_FORMATS
+            | {dims.canonicalize_format(f) for f in dims.NON_6V6_FORMATS})
+
 
 def weighting(rpr, rprd, cutoff):
     if rprd > 100 and cutoff > 1500:
@@ -381,8 +389,12 @@ class OracleStats:
         fmt = battle["format"]
         if not dims.accept_format(fmt):
             return
-        singles = fmt not in dims.NON_SINGLES_FORMATS
-        short = (fmt not in dims.NON_6V6_FORMATS
+        # J5: accept on the raw name, then everything keys/gates by the
+        # canonical name (workflows/smogon/stats.ts:124-130) — matching
+        # build_frames' canonical routing
+        fmt = dims.canonicalize_format(fmt)
+        singles = fmt not in _NON_SINGLES
+        short = (fmt not in _NON_6V6
                  and (battle["turns"] < 2 or (battle["turns"] < 3 and singles)))
 
         side_w = {}
