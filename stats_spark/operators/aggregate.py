@@ -21,9 +21,41 @@ from stats_spark.operators.parse import INVERSE_OUTCOMES
 
 GK = ["format", "cutoff"]  # global grouping dimensions
 
+N_CUTOFFS = 4  # matches enrich.N_CUTOFFS
+
 
 def not_short(col) -> F.Column:
     return F.when(~F.col("short"), col).otherwise(F.lit(0))
+
+
+def _is_wide(df: DataFrame) -> bool:
+    """True for the wide-cutoff shape (enrich.with_cutoff_weights):
+    cutoff_0..3/w_0..3 columns instead of exploded (cutoff, weight)
+    rows.  Aggregates accept either; the wide path is the pipeline's
+    (×4 fewer shuffle rows and hash-agg probes), the exploded path
+    serves streaming/parity callers."""
+    return "w_0" in df.columns
+
+
+def _cutoff_firsts():
+    """Group-key carry for the per-format cutoff values (constant
+    within a format, so first() is deterministic)."""
+    return [F.first(f"cutoff_{i}").alias(f"cutoff_{i}")
+            for i in range(N_CUTOFFS)]
+
+
+def _stacked(grouped: DataFrame, keys: list[str], cols: list[str],
+             extra: list[str] = ()) -> DataFrame:
+    """Unpivot a wide-cutoff grouped frame back to a ``cutoff`` row
+    dimension: emits (keys..., cutoff, cols..., extra...) where each
+    ``c`` in cols comes from ``c_i`` and cutoff from ``cutoff_i``."""
+    rows = ", ".join(
+        ", ".join([f"cutoff_{i}"] + [f"{c}_{i}" for c in cols])
+        for i in range(N_CUTOFFS))
+    names = ", ".join(["cutoff"] + list(cols))
+    return grouped.select(
+        *keys, F.expr(f"stack({N_CUTOFFS}, {rows}) AS ({names})"),
+        *extra)
 
 
 def usage_by_species(mons_w: DataFrame) -> DataFrame:
@@ -63,21 +95,75 @@ def with_tag_dimension(df: DataFrame) -> DataFrame:
                            F.coalesce(F.col("tags"), F.array()))))
 
 
+TAGGED_COLS = ["format", "cutoff", "tag", "species", "raw_count",
+               "raw_weight", "saved_count", "saved_weight", "usage_raw",
+               "usage_real", "usage_weighted", "win_raw", "win_real",
+               "win_weighted"]
+
+
 def usage_by_species_tagged(mons_wt: DataFrame) -> DataFrame:
-    """Per-(tag, species) usage counters.  Input: mons_w ⋈ side tags →
-    with_tag_dimension.  tag='total' reproduces usage_by_species."""
+    """Per-(tag, species) usage counters.  Input: mons frame ⋈ side
+    tags → with_tag_dimension, in either cutoff shape (wide preferred —
+    only the weighted counters vary by cutoff, so the counts aggregate
+    once).  tag='total' reproduces usage_by_species column-for-column
+    (usage_from_tagged below extracts it), so the pipeline aggregates
+    the mons scan ONCE for the whole usage family."""
     win = F.col("outcome") == 1
     real = F.col("turns_out") > 0
-    return (mons_wt.groupBy(*GK, "tag", "species").agg(
+    if not _is_wide(mons_wt):
+        return (mons_wt.groupBy(*GK, "tag", "species").agg(
+            F.count("*").alias("raw_count"),
+            F.sum("weight").alias("raw_weight"),
+            F.sum(F.col("rating_valid").cast("int")).alias("saved_count"),
+            F.sum(F.when(F.col("rating_valid"), F.col("weight"))
+                   .otherwise(0.0)).alias("saved_weight"),
+            F.sum(not_short(F.lit(1))).alias("usage_raw"),
+            F.sum(not_short(real.cast("int"))).alias("usage_real"),
+            F.sum(not_short(F.col("weight"))).alias("usage_weighted"),
+            F.sum(not_short(win.cast("int"))).alias("win_raw"),
+            F.sum(not_short((win & real).cast("int"))).alias("win_real"),
+            F.sum(not_short(F.when(win, F.col("weight")).otherwise(0.0)))
+                .alias("win_weighted"),
+        ).select(*TAGGED_COLS))
+    per_cut = []
+    for i in range(N_CUTOFFS):
+        w = F.col(f"w_{i}")
+        per_cut += [
+            F.sum(w).alias(f"raw_weight_{i}"),
+            F.sum(F.when(F.col("rating_valid"), w).otherwise(0.0))
+                .alias(f"saved_weight_{i}"),
+            F.sum(not_short(w)).alias(f"usage_weighted_{i}"),
+            F.sum(not_short(F.when(win, w).otherwise(0.0)))
+                .alias(f"win_weighted_{i}"),
+        ]
+    g = mons_wt.groupBy("format", "tag", "species").agg(
         F.count("*").alias("raw_count"),
-        F.sum("weight").alias("raw_weight"),
+        F.sum(F.col("rating_valid").cast("int")).alias("saved_count"),
         F.sum(not_short(F.lit(1))).alias("usage_raw"),
         F.sum(not_short(real.cast("int"))).alias("usage_real"),
-        F.sum(not_short(F.col("weight"))).alias("usage_weighted"),
         F.sum(not_short(win.cast("int"))).alias("win_raw"),
-        F.sum(not_short(F.when(win, F.col("weight")).otherwise(0.0)))
-            .alias("win_weighted"),
-    ))
+        F.sum(not_short((win & real).cast("int"))).alias("win_real"),
+        *_cutoff_firsts(), *per_cut)
+    return _stacked(
+        g, ["format", "tag", "species"],
+        ["raw_weight", "saved_weight", "usage_weighted", "win_weighted"],
+        extra=["raw_count", "saved_count", "usage_raw", "usage_real",
+               "win_raw", "win_real"],
+    ).select(*TAGGED_COLS)
+
+
+USAGE_COLS = ["format", "cutoff", "species", "raw_count", "raw_weight",
+              "saved_count", "saved_weight", "usage_raw", "usage_real",
+              "usage_weighted", "win_raw", "win_real", "win_weighted"]
+
+
+def usage_from_tagged(usage_tagged: DataFrame) -> DataFrame:
+    """usage_by_species extracted from the tagged aggregate: the
+    sentinel 'total' shard is definitionally every mon row, so its
+    counters equal the untagged aggregation exactly (pinned by
+    tests/test_golden_aggregates.py)."""
+    return (usage_tagged.filter(F.col("tag") == "total")
+            .select(*USAGE_COLS))
 
 
 def usage_totals(usage_species: DataFrame) -> DataFrame:
@@ -116,11 +202,26 @@ def moveset_maps(mons_w: DataFrame) -> DataFrame:
     (section, key) pairs as an array per mon, explode once, aggregate.
     Moveset counters include short battles (weights.m — stats.ts:299+)."""
     pairs = F.flatten(F.array(*[mk() for _, mk in _SECTIONS]))
-    return (mons_w
-            .select(*GK, "species", "weight", F.explode(pairs).alias("kv"))
-            .groupBy(*GK, "species", "kv.section", "kv.key")
-            .agg(F.sum("weight").alias("weight"),
-                 F.count("*").alias("raw")))
+    if not _is_wide(mons_w):
+        return (mons_w
+                .select(*GK, "species", "weight",
+                        F.explode(pairs).alias("kv"))
+                .groupBy(*GK, "species", "kv.section", "kv.key")
+                .agg(F.sum("weight").alias("weight"),
+                     F.count("*").alias("raw")))
+    wcols = [f"w_{i}" for i in range(N_CUTOFFS)]
+    ccols = [f"cutoff_{i}" for i in range(N_CUTOFFS)]
+    g = (mons_w
+         .select("format", "species", *wcols, *ccols,
+                 F.explode(pairs).alias("kv"))
+         .groupBy("format", "species", "kv.section", "kv.key")
+         .agg(*_cutoff_firsts(),
+              *[F.sum(w).alias(f"weight_{i}")
+                for i, w in enumerate(wcols)],
+              F.count("*").alias("raw")))
+    return _stacked(g, ["format", "species", "section", "key"],
+                    ["weight"], extra=["raw"]).select(
+        *GK, "species", "section", "key", "weight", "raw")
 
 
 def teammates(sides_w: DataFrame) -> DataFrame:
@@ -134,13 +235,30 @@ def teammates(sides_w: DataFrame) -> DataFrame:
         " transform(slice(team, 1, i), y -> "
         "  array(struct(y.species as a, x.species as b),"
         "        struct(x.species as a, y.species as b))))"))
-    return (sides_w
-            .filter(~F.col("short"))
-            .select(*GK, "weight", F.explode(F.flatten(pairs)).alias("p"))
-            .groupBy(*GK, F.col("p.a").alias("species"),
-                     F.col("p.b").alias("teammate"))
-            .agg(F.sum("weight").alias("weight"),
-                 F.count("*").alias("raw")))
+    if not _is_wide(sides_w):
+        return (sides_w
+                .filter(~F.col("short"))
+                .select(*GK, "weight",
+                        F.explode(F.flatten(pairs)).alias("p"))
+                .groupBy(*GK, F.col("p.a").alias("species"),
+                         F.col("p.b").alias("teammate"))
+                .agg(F.sum("weight").alias("weight"),
+                     F.count("*").alias("raw")))
+    wcols = [f"w_{i}" for i in range(N_CUTOFFS)]
+    ccols = [f"cutoff_{i}" for i in range(N_CUTOFFS)]
+    g = (sides_w
+         .filter(~F.col("short"))
+         .select("format", *wcols, *ccols,
+                 F.explode(F.flatten(pairs)).alias("p"))
+         .groupBy("format", F.col("p.a").alias("species"),
+                  F.col("p.b").alias("teammate"))
+         .agg(*_cutoff_firsts(),
+              *[F.sum(w).alias(f"weight_{i}")
+                for i, w in enumerate(wcols)],
+              F.count("*").alias("raw")))
+    return _stacked(g, ["format", "species", "teammate"],
+                    ["weight"], extra=["raw"]).select(
+        *GK, "species", "teammate", "weight", "raw")
 
 
 def encounters(battles_w: DataFrame) -> DataFrame:
@@ -198,11 +316,25 @@ def metagame(sides_w: DataFrame) -> DataFrame:
     """A10 metagame tag weights.  The reference adds the side's weight
     once per team slot (updateStats iterates mons — stats.ts:284-296),
     so the effective weight is team_size × w."""
-    return (sides_w
-            .filter(~F.col("short"))
-            .select(*GK, (F.col("weight") * F.col("team_size")).alias("w"),
-                    F.explode("tags").alias("tag"))
-            .groupBy(*GK, "tag").agg(F.sum("w").alias("weight")))
+    if not _is_wide(sides_w):
+        return (sides_w
+                .filter(~F.col("short"))
+                .select(*GK,
+                        (F.col("weight") * F.col("team_size")).alias("w"),
+                        F.explode("tags").alias("tag"))
+                .groupBy(*GK, "tag").agg(F.sum("w").alias("weight")))
+    g = (sides_w
+         .filter(~F.col("short"))
+         .select("format", "team_size",
+                 *[f"cutoff_{i}" for i in range(N_CUTOFFS)],
+                 *[f"w_{i}" for i in range(N_CUTOFFS)],
+                 F.explode("tags").alias("tag"))
+         .groupBy("format", "tag")
+         .agg(*_cutoff_firsts(),
+              *[F.sum(F.col(f"w_{i}") * F.col("team_size"))
+                 .alias(f"weight_{i}") for i in range(N_CUTOFFS)]))
+    return _stacked(g, ["format", "tag"], ["weight"]).select(
+        *GK, "tag", "weight")
 
 
 STALLINESS_GRID = 1e-4
@@ -218,11 +350,23 @@ def stalliness_samples(sides_w: DataFrame) -> DataFrame:
     Math.round semantics)."""
     binned = (F.floor(F.col("team_stalliness") / STALLINESS_GRID + 0.5)
               * STALLINESS_GRID)
-    return (sides_w
-            .filter(~F.col("short"))
-            .groupBy(*GK, binned.alias("stalliness"))
-            .agg(F.sum(F.col("weight") * F.col("team_size")).alias("weight"),
-                 F.sum("team_size").alias("n")))
+    if not _is_wide(sides_w):
+        return (sides_w
+                .filter(~F.col("short"))
+                .groupBy(*GK, binned.alias("stalliness"))
+                .agg(F.sum(F.col("weight") * F.col("team_size"))
+                      .alias("weight"),
+                     F.sum("team_size").alias("n")))
+    g = (sides_w
+         .filter(~F.col("short"))
+         .groupBy("format", binned.alias("stalliness"))
+         .agg(*_cutoff_firsts(),
+              *[F.sum(F.col(f"w_{i}") * F.col("team_size"))
+                 .alias(f"weight_{i}") for i in range(N_CUTOFFS)],
+              F.sum("team_size").alias("n")))
+    return _stacked(g, ["format", "stalliness"], ["weight"],
+                    extra=["n"]).select(
+        *GK, "stalliness", "weight", "n")
 
 
 def unique_players(mons_w: DataFrame) -> DataFrame:
@@ -231,10 +375,20 @@ def unique_players(mons_w: DataFrame) -> DataFrame:
     r = OR(real), w = max(weight) over short-excluded rows;
     g = max(gxe) over ALL rows (stats.ts:318-327, 374-385)."""
     real = (F.col("turns_out") > 0).cast("int")
-    return (mons_w.groupBy(*GK, "species", "player").agg(
+    if not _is_wide(mons_w):
+        return (mons_w.groupBy(*GK, "species", "player").agg(
+            F.max(not_short(real)).alias("r"),
+            F.max(not_short(F.col("weight"))).alias("w"),
+            F.max("gxe").alias("g")))
+    g = mons_w.groupBy("format", "species", "player").agg(
         F.max(not_short(real)).alias("r"),
-        F.max(not_short(F.col("weight"))).alias("w"),
-        F.max("gxe").alias("g")))
+        *_cutoff_firsts(),
+        *[F.max(not_short(F.col(f"w_{i}"))).alias(f"w_{i}")
+          for i in range(N_CUTOFFS)],
+        F.max("gxe").alias("g"))
+    return _stacked(g, ["format", "species", "player"], ["w"],
+                    extra=["r", "g"]).select(
+        *GK, "species", "player", "r", "w", "g")
 
 
 def viability(unique: DataFrame) -> DataFrame:

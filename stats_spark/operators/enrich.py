@@ -257,25 +257,50 @@ def classify_sides(mons: DataFrame) -> DataFrame:
     return classifier.classify_sides(mons)
 
 
-def explode_cutoffs(df: DataFrame,
-                    cutoffs=dims.DEFAULT_CUTOFFS) -> DataFrame:
-    """A13 multi-cutoff fan-out: one pass computes every cutoff — the
-    dimension becomes an ordinary group-by column.
-
-    ``cutoffs`` is a plain list applied to every format, or a
+def cutoff_array_col(cutoffs=dims.DEFAULT_CUTOFFS):
+    """Per-row cutoff array: a plain list applied to every format, or a
     dict[format, list[int]] for the reference's date/format-dependent
-    cutoff sets (workflows/smogon/stats.ts:55-72): the per-format array
-    is selected JVM-side from a broadcast literal map."""
+    cutoff sets (workflows/smogon/stats.ts:55-72) selected JVM-side
+    from a broadcast literal map."""
     if isinstance(cutoffs, dict):
         entries = []
         for fmt, cs in sorted(cutoffs.items()):
             entries += [F.lit(fmt), F.array(*[F.lit(c) for c in cs])]
         mp = F.create_map(*entries)
         default = F.array(*[F.lit(c) for c in dims.DEFAULT_CUTOFFS])
-        arr = F.coalesce(mp.getItem(F.col("format")), default)
-    else:
-        arr = F.array(*[F.lit(c) for c in cutoffs])
-    return df.withColumn("cutoff", F.explode(arr))
+        return F.coalesce(mp.getItem(F.col("format")), default)
+    return F.array(*[F.lit(c) for c in cutoffs])
+
+
+def explode_cutoffs(df: DataFrame,
+                    cutoffs=dims.DEFAULT_CUTOFFS) -> DataFrame:
+    """A13 multi-cutoff fan-out: one pass computes every cutoff — the
+    dimension becomes an ordinary group-by column."""
+    return df.withColumn("cutoff", F.explode(cutoff_array_col(cutoffs)))
+
+
+N_CUTOFFS = 4  # every reference cutoff set has exactly four entries
+
+
+def with_cutoff_weights(df: DataFrame,
+                        cutoffs=dims.DEFAULT_CUTOFFS) -> DataFrame:
+    """WIDE multi-cutoff fan-out: ``cutoff_0..3`` + erf weights
+    ``w_0..3`` as COLUMNS instead of ×4 rows.  Only the weight varies
+    by cutoff, so exploding quadruples every downstream shuffle row
+    and hash-agg probe for nothing — the aggregates sum the four
+    weight columns in one pass over the un-multiplied rows and unpivot
+    the (tiny) grouped output back to a ``cutoff`` dimension
+    (aggregate._stacked).  Measured: the explode form made the sink
+    phase memory-bound at high core counts (BENCH.md)."""
+    sets = ([dims.DEFAULT_CUTOFFS] + list(cutoffs.values())
+            if isinstance(cutoffs, dict) else [list(cutoffs)])
+    assert all(len(s) == N_CUTOFFS for s in sets), sets
+    df = df.withColumn("_cuts", cutoff_array_col(cutoffs))
+    for i in range(N_CUTOFFS):
+        df = df.withColumn(f"cutoff_{i}", F.col("_cuts").getItem(i))
+        df = df.withColumn(
+            f"w_{i}", weighting_expr("eff_rpr", "eff_rprd", f"cutoff_{i}"))
+    return df.drop("_cuts")
 
 
 def with_weight(df: DataFrame) -> DataFrame:

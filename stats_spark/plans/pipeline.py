@@ -128,8 +128,17 @@ def battles_weighted(battles: DataFrame,
 def build_frames(spark: SparkSession, battles: DataFrame,
                  cutoffs=dims.DEFAULT_CUTOFFS,
                  cache: bool = False,
-                 stage_dir: str | None = None) -> dict:
+                 stage_dir: str | None = None,
+                 on_battles_w=None) -> dict:
     """All aggregate DataFrames (lazy) from a parsed battles frame.
+
+    ``on_battles_w`` (stage mode only): callback invoked with the
+    staged battles_w frame ON THE STAGING WORKER THREAD as soon as its
+    parquet lands — run_pipeline uses it to write the battles_w-only
+    sinks (encounters/leads/battle_counts) WHILE the heavier
+    mons/side_class staging still runs, filling the cores the staging
+    phase leaves idle (measured ~4.5 of 8 busy).  Exceptions propagate
+    through the future's result().
 
     ``cache=True`` persists the three shared intermediates (the pruned
     enriched mons, side_class, battles_w) — every sink reuses them
@@ -194,9 +203,15 @@ def build_frames(spark: SparkSession, battles: DataFrame,
         # the staging phase at ~4.5 of 8 cores)
         from concurrent.futures import ThreadPoolExecutor
         _bw_pool = ThreadPoolExecutor(max_workers=1)
-        bw_future = _bw_pool.submit(
-            stage, battles_weighted(ok, cutoffs).select(*BW_COLS),
-            "battles_w")
+
+        def _stage_bw():
+            df = stage(battles_weighted(ok, cutoffs).select(*BW_COLS),
+                       "battles_w")
+            if on_battles_w is not None:
+                on_battles_w(df)
+            return df
+
+        bw_future = _bw_pool.submit(_stage_bw)
 
     try:
         sides = enrich.with_effective_rating(enrich.sides_from_battles(ok))
@@ -226,30 +241,37 @@ def build_frames(spark: SparkSession, battles: DataFrame,
         # plain explode downstream (single pass for total + all tag shards)
         mons_j = mons.join(side_class.select("conv_id", "side", "tags"),
                            ["conv_id", "side"])
-        mons_w = enrich.with_weight(enrich.explode_cutoffs(mons_j, cutoffs))
-        sides_w = enrich.with_weight(enrich.explode_cutoffs(
-            sides.join(side_class, ["conv_id", "side"]), cutoffs))
+        # WIDE cutoff shape: cutoff_0..3/w_0..3 columns, NOT ×4 rows —
+        # the aggregates sum the four weight columns in one pass and
+        # unpivot the grouped output (aggregate._stacked).  The explode
+        # form quadrupled every shuffle row and hash-agg probe, making
+        # the sink phase memory-bound at high core counts (BENCH.md).
+        wx = [f"cutoff_{i}" for i in range(enrich.N_CUTOFFS)] + \
+             [f"w_{i}" for i in range(enrich.N_CUTOFFS)]
+        mons_w = enrich.with_cutoff_weights(mons_j, cutoffs)
+        sides_w = enrich.with_cutoff_weights(
+            sides.join(side_class, ["conv_id", "side"]), cutoffs)
         if stage:
             # mons_w / sides_w are NOT staged: past the staged mons /
-            # side_class, the ×cutoff explode + erf weighting is pure
-            # whole-stage codegen — cheaper for each sink to recompute
-            # from the staged scans than to double-write ~1 GB of
-            # exploded parquet through a half-utilized serial barrier
-            # (measured: staging them ran the phase at ~4.5/8 cores)
+            # side_class, the cutoff weighting is pure whole-stage
+            # codegen — cheaper for each sink to recompute from the
+            # staged scans than to double-write the weighted parquet
+            # through a half-utilized serial barrier (measured: staging
+            # them ran the phase at ~4.5/8 cores)
             battles_w = bw_future.result()
         else:
             battles_w = battles_weighted(ok, cutoffs)
         if cache or stage:
-            # second level: the ×cutoffs frames every sink consumes —
+            # second level: the weighted frames every sink consumes —
             # pruned to the aggregate columns (the full frame is ~45 cols)
             mons_w = mons_w.select(
-                "format", "cutoff", "species", "player", "weight",
+                "format", "species", "player",
                 "rating_valid", "short", "outcome", "turns_out", "gxe",
                 "ability", "item", "tera_type", "happiness", "spread",
-                "stats_str", "moves", "tags")
+                "stats_str", "moves", "tags", *wx)
             sides_w = sides_w.select(
-                "conv_id", "format", "cutoff", "side", "weight", "short",
-                "team", "team_size", "tags", "team_stalliness")
+                "conv_id", "format", "side", "short",
+                "team", "team_size", "tags", "team_stalliness", *wx)
             if cache:
                 battles_w = battles_w.select(*BW_COLS)
                 mons_w, sides_w, battles_w = (
@@ -263,8 +285,10 @@ def build_frames(spark: SparkSession, battles: DataFrame,
             bw_future.cancel()
             _bw_pool.shutdown(wait=False, cancel_futures=True)
 
-    usage = agg.usage_by_species(mons_w)
     usage_tagged = agg.usage_by_species_tagged(agg.with_tag_dimension(mons_w))
+    # the usage family derives from the ONE tagged aggregation (its
+    # 'total' shard is usage_by_species column-for-column)
+    usage = agg.usage_from_tagged(usage_tagged)
     frames = dict(
         # materialization order matters: mons first (one enrichment
         # pass), then side_class (from cached mons), then the ×cutoff
@@ -390,12 +414,46 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
     if todo or "rejects" not in done:
         t1 = time.time()
         from concurrent.futures import ThreadPoolExecutor
+
+        def write_df(sink: str, df: DataFrame) -> dict:
+            ts = time.time()
+            part = (("format", "cutoff") if "cutoff" in df.columns
+                    else ("format",))
+            path = tables.write_routed(df, out_dir, sink,
+                                       partition_cols=part)
+            rows = spark.read.parquet(path).count() if count_rows else -1
+            m = dict(partition=sink, path=path, rows=rows,
+                     seconds=round(time.time() - ts, 2), skipped=False)
+            # per-sink lineage commit — a killed run resumes from here
+            # (driver-side pyarrow append to a uniquely-named file; no
+            # Spark job, safe under the concurrent sink pool)
+            tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
+            return m
+
+        # battles_w-only sinks, written from the staged battles_w on
+        # the staging worker thread — they run WHILE mons/side_class
+        # still stage, on the cores that phase leaves idle
+        BW_SINKS = ("encounters", "leads", "battle_counts")
+        overlap_metrics: list[dict] = []
+
+        def on_bw(bw_df: DataFrame) -> None:
+            frames_bw = dict(encounters=agg.encounters(bw_df),
+                             leads=agg.leads(bw_df),
+                             battle_counts=agg.battle_counts(bw_df))
+            subs = [s for s in BW_SINKS if s in todo]
+            if subs:
+                with ThreadPoolExecutor(max_workers=len(subs)) as p:
+                    overlap_metrics.extend(
+                        p.map(lambda s: write_df(s, frames_bw[s]), subs))
+
         if materialize == "stage":
             # staged path: build_frames writes the shared intermediates
             # to parquet eagerly; t_cache below is the staging time
+            # (and includes the overlapped battles_w sink writes)
             frames = build_frames(spark, battles, cutoffs,
                                   stage_dir=os.path.join(out_dir,
-                                                         "_stage"))
+                                                         "_stage"),
+                                  on_battles_w=on_bw)
         else:
             frames = build_frames(spark, battles, cutoffs, cache=True)
             # materialize the shared cached intermediates once, up
@@ -412,29 +470,58 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                     list(pool.map(lambda d: d.count(), rest))
         t_cache = time.time() - t1
         t2 = time.time()
+        metrics += overlap_metrics
+        written = {m["partition"] for m in overlap_metrics}
 
-        def write_one(sink: str) -> dict:
-            ts = time.time()
-            df = frames[sink]
-            part = (("format", "cutoff") if "cutoff" in df.columns
-                    else ("format",))
-            path = tables.write_routed(df, out_dir, sink,
-                                       partition_cols=part)
-            rows = spark.read.parquet(path).count() if count_rows else -1
-            m = dict(partition=sink, path=path, rows=rows,
-                     seconds=round(time.time() - ts, 2), skipped=False)
-            # per-sink lineage commit — a killed run resumes from here
-            # (driver-side pyarrow append to a uniquely-named file; no
-            # Spark job, safe under the concurrent sink pool)
-            tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
-            return m
+        # the usage family chains off ONE aggregation: usage_tagged's
+        # 'total' shard IS usage_by_species column-for-column (the tag
+        # fan-out adds the sentinel to every mon), so usage and
+        # usage_totals derive from the WRITTEN usage_tagged parquet —
+        # two of the heaviest mons-explode scans disappear from the
+        # sink pool.  Equality is pinned by test_golden_aggregates +
+        # test_stage_materialize.
+        def write_usage_chain() -> list[dict]:
+            out = []
+            ut_path = os.path.join(out_dir, "usage_tagged")
+            if "usage_tagged" in todo:
+                out.append(write_df("usage_tagged", frames["usage_tagged"]))
+            if "usage" in todo:
+                # derive from the written parquet when it exists (the
+                # normal full-pipeline path); fall back to the direct
+                # aggregation for partial-sink runs
+                src = (agg.usage_from_tagged(spark.read.parquet(ut_path))
+                       if os.path.exists(os.path.join(ut_path, "_SUCCESS"))
+                       else frames["usage"])
+                out.append(write_df("usage", src))
+            if "usage_totals" in todo:
+                upath = os.path.join(out_dir, "usage")
+                src = (agg.usage_totals(spark.read.parquet(upath))
+                       if os.path.exists(os.path.join(upath, "_SUCCESS"))
+                       else frames["usage_totals"])
+                out.append(write_df("usage_totals", src))
+            return out
+
+        USAGE_CHAIN = ("usage_tagged", "usage", "usage_totals")
+        plain = [s for s in todo
+                 if s not in written and s not in USAGE_CHAIN]
+        tasks = [lambda s=s: [write_df(s, frames[s])] for s in plain]
+        if any(s in todo for s in USAGE_CHAIN):
+            tasks.append(write_usage_chain)
 
         # the sinks are many *small* jobs — submit them concurrently so
         # scheduling overhead overlaps and the executors stay saturated
-        # (Spark's scheduler interleaves jobs from multiple threads)
+        # (Spark's scheduler interleaves jobs from multiple threads).
+        # Pool width is tunable: wide pools thrash the LLC/memory bus
+        # when several explode-heavy jobs run at high core counts
+        # (measured in BENCH.md's decomposition).
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=6) as pool:
-            metrics += list(pool.map(write_one, todo))
+        default_width = max(2, min(6, spark.sparkContext.defaultParallelism
+                                   // 4))
+        width = int(os.environ.get("STATS_SPARK_SINK_POOL",
+                                   str(default_width)))
+        with ThreadPoolExecutor(max_workers=width) as pool:
+            for out in pool.map(lambda fn: fn(), tasks):
+                metrics += out
 
         if "rejects" not in done:
             # dead-letter route — P8 rejects
