@@ -29,7 +29,7 @@ def main():
     corpus.TIERS["bench"] = n_convs
     t_jvm = time.time()
     spark = get_spark(f"fixedcost-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 16))
+                      shuffle_partitions=max(16, cores * 4))
     spark.sparkContext.setLogLevel("ERROR")
     jvm_s = round(time.time() - t_jvm, 2)
     c = corpus.ensure_corpus("bench", spark=spark)

@@ -20,7 +20,7 @@ def main():
     cores, n_convs = int(sys.argv[1]), int(sys.argv[2])
     corpus.TIERS["bench"] = n_convs
     spark = get_spark(f"phase{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 16))
+                      shuffle_partitions=max(16, cores * 4))
     spark.sparkContext.setLogLevel("ERROR")
     c = corpus.ensure_corpus("bench")
     tr, cv = tables.load_transcripts(spark, c), tables.load_conversations(spark, c)

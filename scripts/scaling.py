@@ -55,7 +55,7 @@ from stats_spark.sources import tables
 
 corpus.TIERS["bench"] = n_convs
 spark = get_spark(f"scale-{cores}", cores=cores,
-                  shuffle_partitions=max(cores, 16))
+                  shuffle_partitions=max(16, cores * 4))
 spark.sparkContext.setLogLevel("ERROR")
 c = corpus.ensure_corpus("bench", spark=spark)
 n_turns = tables.load_transcripts(spark, c).count()

@@ -526,9 +526,15 @@ def parse_battles(transcripts, conversations, dims_payload: dict | None = None):
                            "matchups string"))
     # The joined rows are tiny by bytes but expensive by CPU (the FSM) —
     # AQE would coalesce them onto one or two tasks.  Spread explicitly
-    # across the cluster before entering Python.
+    # across the cluster before entering Python.  ×8 granularity: with
+    # ×3 the FSM stage ran 3 waves whose per-task CPU varies ~±50%
+    # (conversation length is format-skewed), so the last wave's
+    # straggler idled most cores for tens of seconds (event-log audit:
+    # 24 tasks, 31 s mean / 48 s max at 8 cores).  Finer tasks bound
+    # the tail at ~1/8 of a wave for ~no per-task overhead (the FSM
+    # amortizes per Arrow batch, not per task).
     sc = joined.sparkSession.sparkContext
-    joined = joined.repartition(sc.defaultParallelism * 3)
+    joined = joined.repartition(sc.defaultParallelism * 8)
     out = joined.mapInPandas(fn, schema=raw_schema)
     team_t = f"array<struct<{TEAM_FIELDS}>>"
     return (out

@@ -192,7 +192,10 @@ def build_frames(spark: SparkSession, battles: DataFrame,
     # few dozen MB) so the scan yields only 1-2 input partitions — but
     # each row fans out ×48 downstream (2 sides × 6 mons × 4 cutoffs).
     # Re-spread by bytes-cheap shuffle so every later stage parallelizes.
-    ok = ok.repartition(battles.sparkSession.sparkContext.defaultParallelism * 2)
+    # ×4 granularity: the pandas-UDF enrichment inherits this count; at
+    # ×2 it ran exactly 2 waves with a 40 s max / 78 s mean-of-8 task
+    # spread (event-log audit), wasting ~a straggler tail per wave.
+    ok = ok.repartition(battles.sparkSession.sparkContext.defaultParallelism * 4)
 
     bw_future, _bw_pool = None, None
     if stage:
