@@ -391,6 +391,7 @@ def decode_db(df, gen: int = 1):
         mv0 = off + (1 if gen == 1 else 2)
         fields = [
             F.lit(side).alias("side"),
+            F.lit(slot + 1).alias("slot"),
             F.lit(slot == 0).alias("lead"),
             _u_le(c, off, 1).cast("int").alias("sp_idx"),
             F.array(*[_u_le(c, mv0 + j, 1).cast("int") for j in range(4)])
@@ -398,6 +399,7 @@ def decode_db(df, gen: int = 1):
         ]
         if gen >= 2:
             fields.append(_u_le(c, off + 1, 1).cast("int").alias("it_idx"))
+            fields.append(_u_le(c, off + 6, 1).cast("int").alias("hp_idx"))
         return F.struct(*fields)
 
     def rating(off_rpr: int, off_rprd: int):
@@ -440,8 +442,20 @@ def decode_db(df, gen: int = 1):
                lambda m: m.isNotNull()))
            .drop("mv_idx"))
     if gen >= 2:
-        out = out.withColumn("item", _rev_lookup(lk["items"])(
-            F.col("it_idx"))).drop("it_idx")
+        # Log.decode re-attaches the trailing type byte to a decoded
+        # hiddenpower move (binary.ts:128-130; python twin decode_row)
+        ty_rev = _rev_lookup(TYPE_NUM)
+        out = (out
+               .withColumn("item", _rev_lookup(lk["items"])(
+                   F.col("it_idx")))
+               .withColumn("moves", F.transform(
+                   "moves",
+                   lambda m: F.when(
+                       m == "hiddenpower",
+                       F.concat(m, F.coalesce(ty_rev(F.col("hp_idx")),
+                                              F.lit(""))))
+                            .otherwise(m)))
+               .drop("it_idx", "hp_idx"))
     return out
 
 
@@ -492,41 +506,212 @@ def stats_from_db(spark, db_dir: str, gen: int = 1, cutoff: int = 1500):
 
 
 # ---------------------------------------------------------------------
+# the `.db` consumer CLIs (tools/stats cutoff+sizes, tools/teams) as
+# Spark jobs over the same distributed fixed-width scan
+
+
+def ptile(arr, p: float) -> float:
+    """Linear-interpolated percentile over a pre-sorted sequence —
+    faithful port of tools/stats:20-32 (incl. p≥1 → last element, so
+    the CLI's 0-100 percentile inputs >1 all read the max)."""
+    if not len(arr):
+        return 0
+    if p <= 0:
+        return arr[0]
+    if p >= 1:
+        return arr[-1]
+    index = (len(arr) - 1) * p
+    lower = int(index)
+    upper = lower + 1
+    weight = index - lower
+    if upper >= len(arr):
+        return arr[lower]
+    return arr[lower] * (1 - weight) + arr[upper] * weight
+
+
+def db_rating_cutoff(spark, db_dir: str, gen: int = 1,
+                     percentile: float = 0.5,
+                     js_sort: bool = True) -> float:
+    """tools/stats `cutoff` (tools/stats:77-99): the interpolated
+    percentile of every present player rating (rpr) in the `.db`.
+
+    The reference sorts with `ratings.sort()` — JS's DEFAULT comparator,
+    i.e. LEXICOGRAPHIC on the stringified numbers (tools/stats:98), so
+    e.g. 1000 < 1500 < 999.  ``js_sort=True`` reproduces that order
+    (the rpr field is an integer u16, so the JS string is the plain
+    decimal rendering); ``js_sort=False`` gives the numeric order the
+    comparator presumably intended.  Rank selection is a distributed
+    sort + offset of exactly two rows — no full collect — so the scan
+    scales with the `.db`, not the driver."""
+    c = F.col("row")
+    ratings = (scan_db(spark, db_dir, gen)
+               .select(F.explode(F.array(_u_le(c, 11, 2),
+                                         _u_le(c, 14, 2))).alias("u"))
+               .filter(F.col("u") != 0))
+    n = ratings.count()
+    if n == 0:
+        return 0.0
+    key = F.col("u").cast("string") if js_sort else F.col("u")
+    if percentile <= 0:
+        lower, weight = 0, 0.0
+    elif percentile >= 1:
+        lower, weight = n - 1, 0.0
+    else:
+        index = (n - 1) * percentile
+        lower = int(index)
+        weight = index - lower
+    picked = [float(r.u) for r in
+              ratings.orderBy(key).offset(lower).limit(2).collect()]
+    lo = picked[0]
+    hi = picked[1] if weight and len(picked) > 1 else lo
+    return lo * (1 - weight) + hi * weight
+
+
+def _teams_key(gen: int) -> F.Column:
+    """The reference's team dedupe key (tools/teams:69-73): per mon
+    `species|moves.join(',')` (gen 1) or `species|item|moves.join(',')`
+    (gen 2+), slots joined by ']'."""
+    def mon_key(m: F.Column) -> F.Column:
+        parts = [m.getField("species")]
+        if gen >= 2:
+            parts.append(F.coalesce(m.getField("item"), F.lit("")))
+        parts.append(F.array_join(m.getField("moves"), ","))
+        return F.concat_ws("|", *parts)
+    return F.array_join(F.transform("team", mon_key), "]")
+
+
+def teams_from_db(spark, db_dir: str, gen: int = 1,
+                  num: int = 10000) -> DataFrame:
+    """tools/teams `compute` (tools/teams:54-105): every player's team
+    keyed by species|item|moves, scored by the MAX of (rpr − rprd, 0
+    when unrated) across its appearances, top ``num`` by score.
+
+    Shape at scale: one shuffle keyed on the team string, then a
+    distributed top-k (TakeOrderedAndProject) — no all-rows collect.
+    One disclosed divergence: the reference breaks score ties in file
+    insertion order (JS object-key order, tools/teams:79), which has
+    no distributed analog; ties here break on the team key, which is
+    deterministic under any partitioning."""
+    mons = decode_db(scan_db(spark, db_dir, gen), gen)
+    mon_fields = [F.col("slot"), F.col("species"), F.col("moves")]
+    if gen >= 2:
+        mon_fields.insert(2, F.col("item"))
+    players = (mons
+               .groupBy("rec_id", "winner_side", "rpr", "rprd")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(*mon_fields))).alias("team"))
+               .select(
+                   F.coalesce(F.col("rpr") - F.col("rprd"), F.lit(0.0))
+                    .alias("score"),
+                   _teams_key(gen).alias("team_key"),
+                   F.col("team")))
+    best = (players.groupBy("team_key")
+            .agg(F.max("score").alias("score"),
+                 F.first("team").alias("team")))
+    return best.orderBy(F.desc("score"), "team_key").limit(num)
+
+
+def write_teams_db(top: DataFrame, path: str, gen: int = 1,
+                   num: int = 10000) -> int:
+    """`teams.db` sink: each of the top teams re-encoded as the
+    6·Sizes[gen] fixed-width team block (Team.encode;
+    tools/teams:86-99) in score order.  The output is ≤ num·N bytes
+    (num defaults to 10,000 → ≤ 420 KB), so a driver-side toLocalIterator
+    write is the right physical plan even when the input `.db` is 100 TB
+    — the top-k upstream already reduced it.  Mirrors the reference's
+    exit-with-error when fewer than ``num`` unique teams exist
+    (tools/teams:101-104).  Returns rows written."""
+    maps = {k: _lookup(v) for k, v in lookups().items()}
+    hexed = top.select(_team_hex(F.col("team"), maps, gen).alias("h"))
+    n = 0
+    with open(path, "wb") as f:
+        for r in hexed.toLocalIterator():
+            f.write(bytes.fromhex(r.h))
+            n += 1
+    if n < num:
+        raise ValueError(
+            f"Requested {num} teams but only {n} unique teams")
+    return n
+
+
+def read_teams_db(path: str, gen: int = 1) -> list[list[dict]]:
+    """Python twin of tools/teams `display` (Team.decode per N-byte
+    block, tools/teams:39-52)."""
+    N = 6 * SIZES[gen]
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) % N:
+        raise ValueError(f"Corrupted teams.db of size {len(data)} ({N})")
+    return [_decode_team(data, i, gen) for i in range(0, len(data), N)]
+
+
+def sizes_from_db(spark, db_dir: str, gen: int = 1,
+                  cutoff: int = 1500) -> dict:
+    """tools/stats `sizes` (tools/stats:101-133): per species, how many
+    moves (and items, gen 2+) carry a conditional weight that rounds
+    above 1% (`round(w/species_usage · 1e4) > 100`), then the 0–100
+    percentile table over those per-species counts.  The per-species
+    count frame is bounded by the dimension tables (hundreds of rows),
+    so the final collect is O(|species|) regardless of `.db` size."""
+    st = stats_from_db(spark, db_dir, gen, cutoff)
+    u = st["usage"].select("species", "usage_weighted")
+
+    def counts(frame) -> list[int]:
+        big = (frame.join(u, "species")
+               .filter(F.round(F.col("weight") / F.col("usage_weighted")
+                               * 1e4) > 100)
+               .groupBy("species").agg(F.count("*").alias("n")))
+        rows = (u.join(big, "species", "left")
+                .select(F.coalesce("n", F.lit(0)).alias("n")).collect())
+        return sorted(r.n for r in rows)
+
+    out = {"moves": [ptile(counts(st["move_species"]), i / 100)
+                     for i in range(101)]}
+    if gen >= 2:
+        out["items"] = [ptile(counts(st["item_species"]), i / 100)
+                        for i in range(101)]
+    return out
+
+
+# ---------------------------------------------------------------------
 # decoder (test-side; Binary.Log.decode / Team.decode, binary.ts:98-225)
 
-def decode_row(buf: bytes, gen: int = 1) -> dict:
+def _decode_team(buf: bytes, off: int, gen: int = 1) -> list[dict]:
+    """Team.decode twin (binary.ts:98-132): one 6·Sizes[gen] block →
+    list of sets; the first empty slot ends the team."""
     lk = lookups()
     r_species = {v: k for k, v in lk["species"].items()}
     r_moves = {v: k for k, v in lk["moves"].items()}
     r_items = {v: k for k, v in lk["items"].items()}
     r_types = {v: k for k, v in TYPE_NUM.items()}
+    out, N = [], SIZES[gen]
+    for i in range(off, off + 6 * N, N):
+        if not buf[i]:
+            break  # binary.ts:107 — first empty slot ends the team
+        mon = {"species": r_species[buf[i]], "moves": []}
+        mv0 = i + (1 if gen == 1 else 2)
+        if gen >= 2:
+            mon["item"] = r_items.get(buf[i + 1])
+        for j in range(4):
+            b = buf[mv0 + j]
+            if not b:
+                break
+            m = r_moves[b]
+            if m == "hiddenpower" and gen >= 2:
+                m += r_types.get(buf[i + 6], "")
+            mon["moves"].append(m)
+        out.append(mon)
+    return out
 
+
+def decode_row(buf: bytes, gen: int = 1) -> dict:
     def u(off, n):
         return int.from_bytes(buf[off:off + n], "little")
 
-    def team(off):
-        out, N = [], SIZES[gen]
-        for i in range(off, off + 6 * N, N):
-            if not buf[i]:
-                break  # binary.ts:107 — first empty slot ends the team
-            mon = {"species": r_species[buf[i]], "moves": []}
-            mv0 = i + (1 if gen == 1 else 2)
-            if gen >= 2:
-                mon["item"] = r_items.get(buf[i + 1])
-            for j in range(4):
-                b = buf[mv0 + j]
-                if not b:
-                    break
-                m = r_moves[b]
-                if m == "hiddenpower" and gen >= 2:
-                    m += r_types.get(buf[i + 6], "")
-                mon["moves"].append(m)
-            out.append(mon)
-        return out
-
     N = 6 * SIZES[gen]
     d = dict(ts_ms=u(0, 8), turns=u(8, 2), end_type=buf[10],
-             winner=dict(team=team(17)), loser=dict(team=team(17 + N)))
+             winner=dict(team=_decode_team(buf, 17, gen)),
+             loser=dict(team=_decode_team(buf, 17 + N, gen)))
     if u(11, 2):
         d["winner"]["rating"] = dict(rpr=u(11, 2), rprd=buf[13])
     if u(14, 2):

@@ -306,3 +306,134 @@ def test_stats_from_db_matches_python_twin(spark, t1_db):
     assert set(got_t) == set(mates)
     for k, v in got_t.items():
         assert v == pytest.approx(mates[k], rel=1e-9)
+
+
+# ---------------------------------------------------------------------
+# `.db` consumer CLIs: tools/stats cutoff + sizes, tools/teams
+
+def _py_ratings(db_path, gen):
+    out = []
+    for rec in B.read_db(db_path, gen):
+        for player in (rec["winner"], rec["loser"]):
+            if player.get("rating"):
+                out.append(player["rating"]["rpr"])
+    return out
+
+
+def test_ptile_reference_semantics():
+    """tools/stats:20-32 branch for branch."""
+    assert B.ptile([], 0.5) == 0
+    assert B.ptile([3, 7], 0) == 3
+    assert B.ptile([3, 7], 1.5) == 7       # p>=1 -> last element
+    assert B.ptile([3, 7], 0.5) == 5.0     # interpolation
+    assert B.ptile([1, 2, 10], 0.25) == 1.5
+
+
+def test_db_rating_cutoff_matches_python_twin(spark, t1_db):
+    out, db = t1_db
+    ratings = _py_ratings(db, 1)
+    for p in (0.0, 0.25, 0.5, 0.9, 2.0):
+        # js_sort=True is the reference's default-comparator
+        # (lexicographic) order, tools/stats:98
+        expect = B.ptile(sorted(ratings, key=str), p)
+        got = B.db_rating_cutoff(spark, out, gen=1, percentile=p)
+        assert got == pytest.approx(expect, rel=1e-12), p
+        expect_n = B.ptile(sorted(ratings), p)
+        got_n = B.db_rating_cutoff(spark, out, gen=1, percentile=p,
+                                   js_sort=False)
+        assert got_n == pytest.approx(expect_n, rel=1e-12), p
+
+
+def _py_teams(db_path, gen):
+    """tools/teams:54-85 twin: team key -> max(rpr - rprd, unrated=0)."""
+    teams = {}
+    for rec in B.read_db(db_path, gen):
+        for player in (rec["winner"], rec["loser"]):
+            r = player.get("rating")
+            score = (r["rpr"] - r["rprd"]) if r else 0
+            if gen == 1:
+                key = "]".join(f"{m['species']}|{','.join(m['moves'])}"
+                               for m in player["team"])
+            else:
+                key = "]".join(
+                    f"{m['species']}|{m['item'] or ''}|"
+                    f"{','.join(m['moves'])}" for m in player["team"])
+            teams[key] = max(teams.get(key, 0), score)
+    return teams
+
+
+def test_teams_from_db_matches_python_twin(spark, t1_db):
+    out, db = t1_db
+    expect = _py_teams(db, 1)
+    top = B.teams_from_db(spark, out, gen=1, num=10).collect()
+    assert len(top) == 10
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    for got, (key, score) in zip(top, ranked[:10]):
+        assert got.team_key == key
+        assert got.score == pytest.approx(score, rel=1e-12)
+    # scores weakly decreasing
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_write_teams_db_round_trip(spark, t1_db, tmp_path):
+    out, db = t1_db
+    top = B.teams_from_db(spark, out, gen=1, num=5)
+    path = str(tmp_path / "teams.db")
+    assert B.write_teams_db(top, path, gen=1, num=5) == 5
+    decoded = B.read_teams_db(path, gen=1)
+    rows = top.collect()
+    assert len(decoded) == 5
+    for team, row in zip(decoded, rows):
+        key = "]".join(f"{m['species']}|{','.join(m['moves'])}"
+                       for m in team)
+        assert key == row.team_key
+    # tools/teams:101-104 — fewer unique teams than requested errors
+    with pytest.raises(ValueError, match="unique teams"):
+        B.write_teams_db(B.teams_from_db(spark, out, gen=1, num=3),
+                         str(tmp_path / "t2.db"), gen=1, num=10 ** 6)
+
+
+def test_teams_gen2_key_includes_item_and_hp_type(spark, tmp_path):
+    """Gen-2 team keys carry item + the re-attached hiddenpower<type>
+    (Log.decode, binary.ts:128-130), and the teams.db block
+    round-trips."""
+    lk = B.lookups()
+    sp, mv, it = (sorted(lk[k]) for k in ("species", "moves", "items"))
+    team = _team(dict(species=sp[2], item=it[0],
+                      moves=[mv[0], "hiddenpowerfire"]))
+    df = _battles(spark, [_row("g2", 5, p1=team)])
+    out = str(tmp_path / "g2db")
+    B.write_db(B.encode_logs(df, gen=2), out, gen=2, n_files=1)
+    top = B.teams_from_db(spark, out, gen=2, num=2).collect()
+    keys = {r.team_key for r in top}
+    assert f"{sp[2]}|{it[0]}|{mv[0]},hiddenpowerfire" in keys
+    path = str(tmp_path / "teams2.db")
+    B.write_teams_db(B.teams_from_db(spark, out, gen=2, num=2), path,
+                     gen=2, num=2)
+    decoded = B.read_teams_db(path, gen=2)
+    assert any(m["species"] == sp[2] and m["item"] == it[0]
+               and "hiddenpowerfire" in m["moves"]
+               for t in decoded for m in t)
+
+
+def _py_sizes(db_path, gen, cutoff):
+    """tools/stats:101-133 twin over the python stats twin."""
+    import math
+    usage, _lead, moves, _mates, _tu, _tl = _py_stats(db_path, gen,
+                                                      cutoff)
+    counts = []
+    for s, total in usage.items():
+        n = sum(1 for (sp, _mv), w in moves.items()
+                if sp == s and math.floor(w / total * 1e4 + 0.5) > 100)
+        counts.append(n)
+    counts.sort()
+    return [B.ptile(counts, i / 100) for i in range(101)]
+
+
+def test_sizes_from_db_matches_python_twin(spark, t1_db):
+    out, db = t1_db
+    got = B.sizes_from_db(spark, out, gen=1, cutoff=1500)
+    assert got["moves"] == pytest.approx(_py_sizes(db, 1, 1500),
+                                         rel=1e-12)
+    assert "items" not in got
