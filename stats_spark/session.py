@@ -117,6 +117,16 @@ def get_spark(
     )
     for k, v in {**SQL_CONF, **LOCAL_SQL_CONF}.items():
         builder = builder.config(k, v)
+    evlog = os.environ.get("STATS_SPARK_EVLOG")
+    if evlog:
+        # profiling hook: event log for scripts/evlog_analyze.py
+        os.makedirs(evlog, exist_ok=True)
+        # uncompressed + non-rolling so the analyzer (plain JSONL
+        # reader; no zstd module in this image) can parse it
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", evlog)
+                   .config("spark.eventLog.compress", "false")
+                   .config("spark.eventLog.rolling.enabled", "false"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
