@@ -401,7 +401,11 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         if checkpoint_battles:
             # S5 checkpoint: compact columnar intermediate, partitioned
             # on the routing key; downstream re-reads it (resume point).
-            n_out = max(8, spark.sparkContext.defaultParallelism // 2)
+            # 2× parallelism: the encode+compress cost per output task
+            # is conversation-length skewed, so exactly-one-wave writes
+            # idle ~2 cores behind the longest task (event-log audit:
+            # 5.9/8 busy cores during the checkpoint write at 1.2M)
+            n_out = max(8, spark.sparkContext.defaultParallelism * 2)
             (battles.repartition(n_out, "format", "conv_id")
              .write.mode("overwrite").partitionBy("format")
              .parquet(bpath))
@@ -504,12 +508,36 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                 out.append(write_df("usage_totals", src))
             return out
 
+        def write_rejects() -> list[dict]:
+            # dead-letter route — P8 rejects; independent of every
+            # sink, so it rides the pool instead of trailing the run
+            rej = frames["rejects"].select("conv_id", "format", "day",
+                                           "error", "ts")
+            rpath = os.path.join(out_dir, "rejects")
+            rej.write.mode("overwrite").parquet(rpath)
+            m = dict(partition="rejects", path=rpath,
+                     rows=rej.count() if count_rows else -1, seconds=0.0,
+                     skipped=False)
+            tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
+            return [m]
+
         USAGE_CHAIN = ("usage_tagged", "usage", "usage_totals")
-        plain = [s for s in todo
-                 if s not in written and s not in USAGE_CHAIN]
-        tasks = [lambda s=s: [write_df(s, frames[s])] for s in plain]
+        # longest-ladder-first submission: the usage chain is a serial
+        # 3-sink dependency ladder (~3× any single sink) — submitted
+        # last it trails the run nearly alone (event-log audit: the
+        # final ~50 s at 8 cores ran at <0.8 utilization).  Front-load
+        # it, then the heavy single sinks, so the pool's tail is the
+        # small cheap jobs.
+        HEAVY = ("moveset", "teammates", "viability")
+        plain = sorted((s for s in todo
+                        if s not in written and s not in USAGE_CHAIN),
+                       key=lambda s: s not in HEAVY)
+        tasks = []
         if any(s in todo for s in USAGE_CHAIN):
             tasks.append(write_usage_chain)
+        if "rejects" not in done:
+            tasks.append(write_rejects)
+        tasks += [lambda s=s: [write_df(s, frames[s])] for s in plain]
 
         # the sinks are many *small* jobs — submit them concurrently so
         # scheduling overhead overlaps and the executors stay saturated
@@ -525,23 +553,11 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         with ThreadPoolExecutor(max_workers=width) as pool:
             for out in pool.map(lambda fn: fn(), tasks):
                 metrics += out
-
-        if "rejects" not in done:
-            # dead-letter route — P8 rejects
-            rej = frames["rejects"].select("conv_id", "format", "day",
-                                           "error", "ts")
-            rpath = os.path.join(out_dir, "rejects")
-            rej.write.mode("overwrite").parquet(rpath)
-            m = dict(partition="rejects", path=rpath,
-                     rows=rej.count() if count_rows else -1, seconds=0.0,
-                     skipped=False)
-            tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
-            metrics.append(m)
-        else:
-            metrics.append(dict(partition="rejects",
-                                path=os.path.join(out_dir, "rejects"),
-                                rows=-1, seconds=0.0, skipped=True))
         t_sinks = time.time() - t2
+    if "rejects" in done:
+        metrics.append(dict(partition="rejects",
+                            path=os.path.join(out_dir, "rejects"),
+                            rows=-1, seconds=0.0, skipped=True))
     return dict(seconds=time.time() - t0, parse_seconds=round(t_parse, 2),
                 cache_seconds=round(t_cache, 2),
                 sink_seconds=round(t_sinks, 2), sinks=metrics)
