@@ -148,6 +148,13 @@ def main():
           wants=("HashAggregate",),
           forbids=("CartesianProduct", "BroadcastNestedLoopJoin",
                    "ArrowEvalPython", "BatchEvalPython"))
+    # tools/teams: one shuffle keyed on the team string, then a
+    # distributed top-k — never a full sort or collect
+    check("binary_db teams (groupBy + distributed top-k)",
+          B.teams_from_db(spark, _dbdir, gen=1, num=10),
+          wants=("TakeOrderedAndProject", "HashAggregate"),
+          forbids=("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython", "Join"))
 
     # dedup/similarity: equi-joins only
     check("minhash_lsh_pairs", dedup.minhash_lsh_pairs(docs))
