@@ -91,13 +91,19 @@ def lookups() -> dict[str, dict[str, int]]:
 # ---------------------------------------------------------------------
 # hex-expression builders (all JVM-side)
 
-def wall_clock_ms(t: F.Column) -> F.Column:
-    """Epoch milliseconds of the timestamp's WALL CLOCK read as UTC —
-    tz-independent for both TIMESTAMP and TIMESTAMP_NTZ columns
-    (to_date/hour/minute/second all render the stored wall clock in
-    the session zone, so the components cancel the zone; `unix_millis`
-    would not).  Matches DuckDB's `epoch_ms(ts)` over the same naive
-    parquet micros regardless of the driver session's timezone."""
+def wall_clock_ms(t: F.Column, *, ntz: bool = False) -> F.Column:
+    """Epoch milliseconds of the battle timestamp, independent of the
+    driver session's timezone (db.ts stores a `Date.now()`-style
+    instant).  The two parquet physical types need OPPOSITE
+    expressions: for an instant TIMESTAMP column `unix_millis` is the
+    instant and never consults the session zone, while
+    to_date/hour/... would render the zone's wall clock (a non-UTC
+    driver session shifted the encode by its UTC offset).  For
+    TIMESTAMP_NTZ the component read-out is the zone-independent one
+    (`unix_millis` on NTZ applies the session zone during the implicit
+    cast).  Both match DuckDB's `epoch_ms(ts)` over the same parquet."""
+    if not ntz:
+        return F.unix_millis(t)
     secs = (F.unix_date(F.to_date(t)).cast("long") * 86400
             + F.hour(t).cast("long") * 3600
             + F.minute(t).cast("long") * 60 + F.second(t).cast("long"))
@@ -238,6 +244,9 @@ def encode_logs(battles: DataFrame, gen: int = 1) -> DataFrame:
     if "p2_name" in battles.columns:
         w_is_p2 = w_is_p2 | (F.col("winner") == F.col("p2_name"))
     end_col = F.col("end_type") if "end_type" in battles.columns else None
+    from pyspark.sql.types import TimestampNTZType
+    ts_ntz = isinstance(battles.schema["ts"].dataType, TimestampNTZType)
+    ts_ms = wall_clock_ms(F.col("ts"), ntz=ts_ntz)
 
     def side(field: str) -> F.Column:  # winner-relative column pick
         p1, p2 = F.col(f"p1_{field}"), F.col(f"p2_{field}")
@@ -248,7 +257,7 @@ def encode_logs(battles: DataFrame, gen: int = 1) -> DataFrame:
         return F.when(w_is_p2, p1).otherwise(p2)
 
     row_hex = F.concat(
-        _u_le_hex(wall_clock_ms(F.col("ts")), 8),
+        _u_le_hex(ts_ms, 8),
         _u_le_hex(F.col("turns"), 2),
         _u_le_hex(_end_type_expr(F.col("winner"), end_col), 1),
         _rating_hex(side("rpr"), side("rprd")),
@@ -257,7 +266,7 @@ def encode_logs(battles: DataFrame, gen: int = 1) -> DataFrame:
         _team_hex(other("team"), maps, gen),
     )
     return (battles
-            .withColumn("ts_ms", wall_clock_ms(F.col("ts")))
+            .withColumn("ts_ms", ts_ms)
             .withColumn("row_hex", row_hex)
             .withColumn("row", F.unhex(row_hex))
             .select("conv_id", "ts_ms", "row_hex", "row"))

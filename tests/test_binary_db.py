@@ -437,3 +437,43 @@ def test_sizes_from_db_matches_python_twin(spark, t1_db):
     assert got["moves"] == pytest.approx(_py_sizes(db, 1, 1500),
                                          rel=1e-12)
     assert "items" not in got
+
+
+def test_encode_tz_independent_instant(spark):
+    """A non-UTC driver session must not shift the encoded instant:
+    the reference stores Date.now()-style epoch ms (db.ts), so the
+    encode reads the INSTANT, never the session zone's wall clock
+    (regression: a pinned America/New_York session encoded ts 5h low)."""
+    ts_ms = 1772331656000  # 2026-03-01, EST window (UTC-5)
+    df = _battles(spark, [_row("c1", ts_ms)])
+    ref = B.encode_logs(df, gen=1).select("ts_ms", "row_hex").collect()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = B.encode_logs(df, gen=1).select("ts_ms", "row_hex").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert ref == ny
+    assert ref[0]["ts_ms"] == ts_ms
+
+
+def test_encode_tz_independent_ntz(spark):
+    """TIMESTAMP_NTZ battles (a source that never adjusted to UTC)
+    encode the stored wall clock as-if-UTC, also zone-independently —
+    this is the component-read-out branch of wall_clock_ms."""
+    ts_ms = 1772331656000
+    naive = dt.datetime.fromtimestamp(ts_ms / 1000, tz=UTC).replace(
+        tzinfo=None)
+    row = list(_row("c1", ts_ms))
+    row[1] = naive
+    schema = SCHEMA.replace("ts timestamp,", "ts timestamp_ntz,")
+    df = spark.createDataFrame([tuple(row)], schema)
+    ref = B.encode_logs(df, gen=1).select("ts_ms", "row_hex").collect()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = B.encode_logs(df, gen=1).select("ts_ms", "row_hex").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert ref == ny
+    assert ref[0]["ts_ms"] == ts_ms
