@@ -286,6 +286,13 @@ Clock-normalized efficiency — context, not the headline: {eff_norm}.
 Measured by `scripts/scaling.py {n_convs} {low} {high}`;
 `bench.py` reports the per-round headline numbers the driver records.
 """
+    # retained evidence sections (waste forensics, fixed-cost method,
+    # streaming micro-bench, headline config) live in a supplement file
+    # so protocol reruns don't erase them
+    supp = "/root/repo/scripts/bench_supplement.md"
+    if os.path.exists(supp):
+        with open(supp) as f:
+            md += f.read()
     with open("/root/repo/BENCH.md", "w") as f:
         f.write(md)
     print("wrote /root/repo/BENCH.md")
