@@ -12,11 +12,14 @@ shared-host frequency scaling):
   * a CLOCK SENTINEL — equal pure-CPU work per process, no memory
     traffic, no JVM — runs at BOTH concurrency levels immediately
     before and after every measured leg;
-  * a leg is CLEAN only if all four bracketing sentinel readings are
-    within TOL (default 5%) of the session-best reading at that
-    concurrency, i.e. the leg ran in a window where the machine was as
-    fast as it ever was this session — loaded-window legs are
-    DISCARDED by protocol, not normalized after the fact;
+  * a leg is CLEAN only if both bracketing sentinel readings AT THE
+    LEG'S OWN concurrency are within TOL (default 5%) of the
+    session-best reading at that concurrency, i.e. the machine's
+    per-core speed in the regime the leg ran in was as fast as it
+    ever was this session — loaded-window legs are DISCARDED by
+    protocol, not normalized after the fact (the other level's
+    reading is published but does not gate: it measures a different
+    turbo/contention regime and certifies nothing about this leg);
   * legs alternate low,high,low,high,… and the protocol keeps running
     until ≥N_CLEAN (default 3) clean legs exist at BOTH levels (or the
     wall-clock budget runs out, in which case whatever cleared the
@@ -138,6 +141,30 @@ def shutdown_gateway():
             continue
 
 
+def gate_legs(legs: list, samples: list, low: int, high: int,
+              tol: float) -> tuple[dict, dict]:
+    """Mark each leg clean/discarded and return (clean counts, session
+    bests).  A leg is CLEAN iff both bracketing sentinel readings AT
+    THE LEG'S OWN concurrency are within ``tol`` of the session-best
+    reading at that concurrency — per-core speed in the regime the leg
+    actually ran in was as fast as it ever was this session.  The
+    other level's reading is published but does not gate: it measures
+    a different turbo/contention regime and certifies nothing about
+    this leg, so gating on it doubles false discards.  Cross-level
+    comparability holds because BOTH levels' kept legs must hit
+    session-best at their own concurrency."""
+    best = {k: min(s[k] for s in samples) for k in ("low", "high")}
+    out = {low: 0, high: 0}
+    for leg in legs:
+        k = "low" if leg["level"] == low else "high"
+        ok = all(leg[b][k] <= best[k] * (1 + tol)
+                 for b in ("pre", "post"))
+        leg["clean"] = ok
+        if ok:
+            out[leg["level"]] += 1
+    return out, best
+
+
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -166,15 +193,7 @@ def main():
     samples = [sentinel(low, high)]  # session-wide sentinel history
 
     def clean_counts():
-        best = {k: min(s[k] for s in samples) for k in ("low", "high")}
-        out = {low: 0, high: 0}
-        for leg in legs:
-            ok = all(leg[b][k] <= best[k] * (1 + tol)
-                     for b in ("pre", "post") for k in ("low", "high"))
-            leg["clean"] = ok
-            if ok:
-                out[leg["level"]] += 1
-        return out, best
+        return gate_legs(legs, samples, low, high, tol)
 
     while True:
         counts, _ = clean_counts()
@@ -257,10 +276,16 @@ criterion.
 **Interference-gated protocol**: a pure-CPU clock sentinel (equal work
 per process, no memory traffic, no JVM) runs at BOTH concurrency
 levels immediately before and after every leg; a leg is kept only if
-all four bracketing readings are within {tol:.0%} of the session-best
-reading at that concurrency.  Legs from loaded windows are discarded
-by protocol — no after-the-fact normalization enters the headline
-number.  Efficiency uses min-of-clean per level
+both bracketing readings AT THE LEG'S OWN concurrency are within
+{tol:.0%} of the session-best reading at that concurrency — i.e. the
+machine's per-core speed in the regime the leg actually ran in was as
+fast as it ever was this session.  (The other level's reading is
+published for the record but does not gate: it measures a different
+turbo/contention regime and certifies nothing about this leg;
+cross-level comparability holds because BOTH levels' kept legs must
+hit session-best at their own concurrency.)  Legs from loaded windows
+are discarded by protocol — no after-the-fact normalization enters
+the headline number.  Efficiency uses min-of-clean per level
 ({counts[low]} clean local[{low}] legs, {counts[high]} clean
 local[{high}] legs).
 {gate}
