@@ -14,27 +14,43 @@ shared-host frequency scaling):
     before and after every measured leg;
   * a leg is CLEAN only if both bracketing sentinel readings AT THE
     LEG'S OWN concurrency are within TOL (default 5%) of the
-    session-best reading at that concurrency, i.e. the machine's
-    per-core speed in the regime the leg ran in was as fast as it
-    ever was this session — loaded-window legs are DISCARDED by
+    ROUND-BEST reading at that concurrency.  Round-best = the fastest
+    reading ever observed at that concurrency across ALL protocol
+    runs this round (persisted in data/sentinel_history.json), not
+    just this process's session — otherwise a uniformly loaded
+    session would grade its own depressed legs "clean" against its
+    own depressed best.  Loaded-window legs are DISCARDED by
     protocol, not normalized after the fact (the other level's
     reading is published but does not gate: it measures a different
     turbo/contention regime and certifies nothing about this leg);
-  * legs alternate low,high,low,high,… and the protocol keeps running
-    until ≥N_CLEAN (default 3) clean legs exist at BOTH levels (or the
-    wall-clock budget runs out, in which case whatever cleared the
-    gate is reported, with the shortfall disclosed);
+  * before LAUNCHING a leg the protocol probes the window with the
+    same sentinel and only starts the (10-30 min) leg once the
+    reading at the leg's own concurrency clears the gate — probing
+    costs seconds, a doomed leg costs half an hour of machine time,
+    and a leg launched into a dirty window can never grade clean
+    (round-best only falls); probe waits are published per leg;
+  * legs from every protocol run at the same (corpus, levels) are
+    MERGED (persisted in data/scaling_legs_*.json) and re-gated
+    against the round-best sentinels, so evidence accumulates across
+    runs and a kill/restart loses nothing;
+  * the protocol keeps running until ≥N_CLEAN (default 3) clean legs
+    exist at BOTH levels (or the wall-clock budget runs out, in which
+    case whatever cleared the gate is reported, with the shortfall
+    disclosed);
   * raw efficiency uses min-of-clean per level; every leg's sentinel
-    readings are published in BENCH.md.
+    readings are published in BENCH.md, which is rewritten after
+    EVERY completed leg (never lost to a mid-run kill) and only when
+    at least one clean leg exists at each level.
 
-The hardware clock ceiling (session-best sentinel_low /
-sentinel_high) is still reported — it bounds any job's raw efficiency
-on a turbo host and is the figure a real N→4N scale-out (more hosts,
-constant clocks) does not pay — but the headline number is RAW.
+The hardware clock ceiling (round-best sentinel_low / sentinel_high)
+is still reported — it bounds any job's raw efficiency on a turbo
+host and is the figure a real N→4N scale-out (more hosts, constant
+clocks) does not pay — but the headline number is RAW.
 
 Usage: python scripts/scaling.py [n_convs] [low_cores] [high_cores]
 Env:   SCALING_N_CLEAN (3)  SCALING_TOL (0.05)
        SCALING_BUDGET_S (7200)  SCALING_MAX_LEGS (12)
+       SCALING_PROBE_SLEEP_S (45)
 """
 
 from __future__ import annotations
@@ -46,6 +62,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+HISTORY_PATH = "/root/repo/data/sentinel_history.json"
+LEGS_PATH = "/root/repo/data/scaling_legs_{n}_{low}_{high}.json"
 
 WORKER = r"""
 import json, os, sys, time
@@ -101,6 +120,22 @@ def sentinel(low: int, high: int) -> dict:
     }
 
 
+def load_json(path, default):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return default
+
+
+def save_json(path, obj):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
 def run_level(cores: int, n_convs: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(n_convs)],
@@ -141,28 +176,161 @@ def shutdown_gateway():
             continue
 
 
-def gate_legs(legs: list, samples: list, low: int, high: int,
-              tol: float) -> tuple[dict, dict]:
-    """Mark each leg clean/discarded and return (clean counts, session
-    bests).  A leg is CLEAN iff both bracketing sentinel readings AT
-    THE LEG'S OWN concurrency are within ``tol`` of the session-best
-    reading at that concurrency — per-core speed in the regime the leg
-    actually ran in was as fast as it ever was this session.  The
-    other level's reading is published but does not gate: it measures
-    a different turbo/contention regime and certifies nothing about
-    this leg, so gating on it doubles false discards.  Cross-level
-    comparability holds because BOTH levels' kept legs must hit
-    session-best at their own concurrency."""
-    best = {k: min(s[k] for s in samples) for k in ("low", "high")}
-    out = {low: 0, high: 0}
-    for leg in legs:
-        k = "low" if leg["level"] == low else "high"
-        ok = all(leg[b][k] <= best[k] * (1 + tol)
-                 for b in ("pre", "post"))
-        leg["clean"] = ok
-        if ok:
-            out[leg["level"]] += 1
-    return out, best
+class Protocol:
+    """Round-persistent state: sentinel bests + merged legs."""
+
+    def __init__(self, n_convs, low, high, tol):
+        self.n_convs, self.low, self.high, self.tol = n_convs, low, high, tol
+        self.legs_path = LEGS_PATH.format(n=n_convs, low=low, high=high)
+        self.legs = load_json(self.legs_path, [])
+        self.history = load_json(HISTORY_PATH, {})
+
+    def observe(self, sample: dict) -> None:
+        """Fold a sentinel sample into the round-best history."""
+        for k, lv in (("low", self.low), ("high", self.high)):
+            key = str(lv)
+            if key not in self.history or sample[k] < self.history[key]:
+                self.history[key] = sample[k]
+        save_json(HISTORY_PATH, self.history)
+
+    def best(self) -> dict:
+        return {"low": self.history.get(str(self.low), float("inf")),
+                "high": self.history.get(str(self.high), float("inf"))}
+
+    def window_clean(self, sample: dict, level: int) -> bool:
+        k = "low" if level == self.low else "high"
+        return sample[k] <= self.best()[k] * (1 + self.tol)
+
+    def gate(self) -> tuple[dict, dict]:
+        """Re-gate ALL merged legs against the round-best sentinels.
+        A leg is CLEAN iff both bracketing readings at the leg's own
+        concurrency are within tol of the round-best at that
+        concurrency (the other level's reading is published but does
+        not gate — different turbo/contention regime)."""
+        best = self.best()
+        counts = {self.low: 0, self.high: 0}
+        for leg in self.legs:
+            k = "low" if leg["level"] == self.low else "high"
+            ok = all(leg[b][k] <= best[k] * (1 + self.tol)
+                     for b in ("pre", "post"))
+            leg["clean"] = ok
+            if ok:
+                counts[leg["level"]] += 1
+        return counts, best
+
+    def add_leg(self, leg: dict) -> None:
+        self.legs.append(leg)
+        self.observe(leg["post"])
+        save_json(self.legs_path, self.legs)
+
+
+def write_report(p: Protocol, n_clean: int, partial_note: str = "") -> None:
+    counts, best = p.gate()
+    low, high, tol = p.low, p.high, p.tol
+    if not (counts[low] > 0 and counts[high] > 0):
+        print(f"no clean leg at both levels yet {counts} — "
+              "BENCH.md left untouched", file=sys.stderr)
+        return
+    ceiling = round(best["low"] / best["high"], 4)
+
+    def leg_secs(level):
+        return [leg["run"]["seconds"] for leg in p.legs
+                if leg["level"] == level and leg["clean"]]
+
+    t_low, t_high = min(leg_secs(low)), min(leg_secs(high))
+    eff = round((t_low / t_high) / (high / low), 3)
+    eff_norm = round(eff / ceiling, 3)
+    turns = next((g["run"]["turns"] for g in p.legs
+                  if g["run"].get("turns")), 0)
+
+    result = dict(n_convs=p.n_convs, low_cores=low, high_cores=high,
+                  t_low=t_low, t_high=t_high,
+                  scaling_efficiency_raw=eff,
+                  hw_clock_ceiling=ceiling,
+                  scaling_efficiency_clock_normalized=eff_norm,
+                  clean_legs=counts, tol=tol,
+                  legs=[dict(level=g["level"], seconds=g["run"]["seconds"],
+                             clean=g["clean"], pre=g["pre"], post=g["post"])
+                        for g in p.legs])
+    print(json.dumps(result), flush=True)
+
+    rows = "\n".join(
+        "| {i} | local[{lv}] | {s} | {c} | {pl} / {ph} | {ql} / {qh} | {w} |"
+        .format(
+            i=i + 1, lv=g["level"], s=g["run"]["seconds"],
+            c="yes" if g["clean"] else "NO — discarded",
+            pl=g["pre"]["low"], ph=g["pre"]["high"],
+            ql=g["post"]["low"], qh=g["post"]["high"],
+            w=g.get("probe_wait_s", "—"))
+        for i, g in enumerate(p.legs))
+    gate = "" if (counts[low] >= n_clean and counts[high] >= n_clean) else (
+        f"\n> **Disclosure:** the protocol targets ≥{n_clean} clean legs"
+        f" per level; this record currently holds {counts[low]}×local[{low}]"
+        f" / {counts[high]}×local[{high}] clean legs.\n")
+
+    md = f"""# BENCH — throughput + scaling evidence
+
+Full parse→enrich→route→aggregate pipeline (staged materialization —
+the cluster deployment path) over the deterministic synthetic
+transcript corpus ({p.n_convs:,} conversations, {turns:,} turn rows;
+skewed format sizes per `logs/DESIGN.md:9-11`).  Identical job,
+identical input, two parallelism levels, fresh JVM per leg — the
+sandbox evidence protocol for the north rule's two-cluster-size
+criterion.
+
+**Interference-gated protocol**: a pure-CPU clock sentinel (equal work
+per process, no memory traffic, no JVM) runs at BOTH concurrency
+levels immediately before and after every leg; a leg is kept only if
+both bracketing readings AT THE LEG'S OWN concurrency are within
+{tol:.0%} of the **round-best** reading at that concurrency — the
+fastest reading ever observed at that concurrency across all protocol
+runs this round (persisted in `data/sentinel_history.json`), so a
+uniformly loaded session cannot grade its own depressed legs clean
+against its own depressed best.  Gating bests this round:
+{best['low']}s at {low}-way, {best['high']}s at {high}-way.  (The
+other level's reading is published for the record but does not gate:
+it measures a different turbo/contention regime and certifies nothing
+about this leg.)  Legs from loaded windows are discarded by protocol —
+no after-the-fact normalization enters the headline number.  Before
+each leg launches, the window is probed with the same sentinel until
+it clears the gate (probe wait published per leg), so machine time is
+not burned on legs doomed to discard.  Legs accumulate across protocol
+runs at the same corpus size and are re-gated as a set.  Efficiency
+uses min-of-clean per level ({counts[low]} clean local[{low}] legs,
+{counts[high]} clean local[{high}] legs).
+{gate}{partial_note}
+| leg | parallelism | wall-clock (s) | clean | sentinel pre (c{low} / c{high}) | sentinel post (c{low} / c{high}) | probe wait (s) |
+| --- | --- | --- | --- | --- | --- | --- |
+{rows}
+
+| parallelism | best clean wall-clock (s) | turns/sec |
+| --- | --- | --- |
+| local[{low}] | {t_low} | {round(turns / t_low, 1):,} |
+| local[{high}] | {t_high} | {round(turns / t_high, 1):,} |
+
+**Raw scaling efficiency {low}→{high} cores:
+(T{low}/T{high}) / ({high}/{low}) = {eff}** (target ≥ 0.8).
+
+**Hardware clock ceiling** on this host this round: the sentinel
+runs {ceiling}× slower per core at {high}-way concurrency than at
+{low}-way (shared-host turbo/frequency scaling).  That ceiling bounds
+ANY job's raw efficiency at {ceiling} on this box; a real N→4N
+*executor* scale-out (more hosts, constant clocks) does not pay it.
+Clock-normalized efficiency — context, not the headline: {eff_norm}.
+
+Measured by `scripts/scaling.py {p.n_convs} {low} {high}`;
+`bench.py` reports the per-round headline numbers the driver records.
+"""
+    # retained evidence sections (waste forensics, fixed-cost method,
+    # streaming micro-bench, headline config) live in a supplement file
+    # so protocol reruns don't erase them
+    supp = "/root/repo/scripts/bench_supplement.md"
+    if os.path.exists(supp):
+        with open(supp) as f:
+            md += f.read()
+    with open("/root/repo/BENCH.md", "w") as f:
+        f.write(md)
+    print("wrote /root/repo/BENCH.md", file=sys.stderr)
 
 
 def main():
@@ -173,6 +341,9 @@ def main():
     tol = float(os.environ.get("SCALING_TOL", "0.05"))
     budget = float(os.environ.get("SCALING_BUDGET_S", "7200"))
     max_legs = int(os.environ.get("SCALING_MAX_LEGS", "12"))
+    probe_sleep = float(os.environ.get("SCALING_PROBE_SLEEP_S", "45"))
+
+    p = Protocol(n_convs, low, high, tol)
 
     # pre-generate the corpus once so no leg pays generation
     from stats_spark.session import get_spark
@@ -186,141 +357,81 @@ def main():
     shutdown_gateway()
 
     t_start = time.time()
-    # legs: [{level, run, pre, post}] — pre/post are sentinel samples
-    legs = []
     sentinel(low, high)  # warm-up: the first sample after the corpus
     #                      JVM teardown reads hot/loaded — discard it
-    samples = [sentinel(low, high)]  # session-wide sentinel history
-
-    def clean_counts():
-        return gate_legs(legs, samples, low, high, tol)
+    p.observe(sentinel(low, high))
+    # rough per-leg duration estimates (refined from completed legs)
+    est = {low: 1800.0, high: 650.0}
 
     while True:
-        counts, _ = clean_counts()
+        counts, _ = p.gate()
         if counts[low] >= n_clean and counts[high] >= n_clean:
             break
-        have = {lv: sum(1 for g in legs if g["level"] == lv)
+        have = {lv: sum(1 for g in p.legs if g["level"] == lv)
                 for lv in (low, high)}
-        if ((len(legs) >= max_legs or time.time() - t_start > budget)
+        elapsed = time.time() - t_start
+        if ((len(p.legs) >= max_legs or elapsed > budget)
                 and have[low] > 0 and have[high] > 0):
             print(f"WARNING: stopping with clean counts {counts} "
                   f"(target {n_clean} per level)", file=sys.stderr)
             break
-        # a level with NO legs at all outranks everything (the report
-        # needs at least one leg per level); then whichever level is
-        # short on clean legs (ties go to the low level)
+        # which levels still need clean legs? (a level with NO legs at
+        # all outranks everything — the report needs one per level)
         if have[low] == 0 or have[high] == 0:
-            level = low if have[low] == 0 else high
-        elif counts[low] != counts[high]:
-            level = low if counts[low] < counts[high] else high
+            needed = [low if have[low] == 0 else high]
         else:
-            # clean-count tie: alternate by total legs run, so a
-            # sustained noise burst can't contaminate only one level
-            level = low if have[low] <= have[high] else high
-        pre = samples[-1]
+            short = [lv for lv in (low, high) if counts[lv] < n_clean]
+            # fewest clean first; ties by fewest total legs, then low
+            needed = sorted(short, key=lambda lv: (counts[lv], have[lv],
+                                                   lv != low))
+        # probe the window; launch the first needed level whose own
+        # concurrency reads clean — a doomed leg costs 10-30 min, a
+        # probe costs seconds.  A leg launched into a dirty window can
+        # NEVER grade clean (round-best only falls), so there is no
+        # launch-anyway fallback: wait until the window clears or the
+        # budget runs out (the merged prior record stands either way).
+        waited = 0.0
+        while True:
+            probe = sentinel(low, high)
+            p.observe(probe)
+            clean_levels = [lv for lv in needed
+                            if p.window_clean(probe, lv)]
+            if clean_levels:
+                level = clean_levels[0]
+                break
+            if time.time() - t_start > budget:
+                level = None
+                break
+            if waited and waited % 600 < probe_sleep:
+                print(f"still waiting for a clean window ({waited:.0f}s; "
+                      f"probe {probe}, gate {p.best()} +{tol:.0%})",
+                      file=sys.stderr)
+            time.sleep(probe_sleep)
+            waited += probe_sleep
+        if level is None:
+            print("WARNING: budget exhausted while waiting for a clean "
+                  "window", file=sys.stderr)
+            break
+        # don't start a leg the budget can't fit (stops mid-run churn)
+        done = [g["run"]["seconds"] for g in p.legs if g["level"] == level]
+        if done:
+            est[level] = min(done)
+        if (time.time() - t_start) + est[level] > budget * 1.15 and \
+                have[low] > 0 and have[high] > 0:
+            print(f"WARNING: {est[level]:.0f}s leg does not fit the "
+                  "remaining budget — stopping", file=sys.stderr)
+            break
         run = run_level(level, n_convs)
         post = sentinel(low, high)
-        samples.append(post)
-        legs.append(dict(level=level, run=run, pre=pre, post=post))
-        print(json.dumps(dict(leg=len(legs), level=level,
-                              seconds=run["seconds"], pre=pre, post=post)),
-              flush=True)
+        leg = dict(level=level, run=run, pre=probe, post=post,
+                   probe_wait_s=round(waited))
+        p.add_leg(leg)
+        print(json.dumps(dict(leg=len(p.legs), level=level,
+                              seconds=run["seconds"], pre=probe, post=post,
+                              probe_wait_s=round(waited))), flush=True)
+        write_report(p, n_clean)
 
-    counts, best = clean_counts()
-    ceiling = round(best["low"] / best["high"], 4)
-
-    def leg_secs(level, only_clean):
-        return [leg["run"]["seconds"] for leg in legs
-                if leg["level"] == level and (leg["clean"] or not only_clean)]
-
-    use_clean = counts[low] > 0 and counts[high] > 0
-    t_low = min(leg_secs(low, use_clean))
-    t_high = min(leg_secs(high, use_clean))
-    eff = round((t_low / t_high) / (high / low), 3)
-    eff_norm = round(eff / ceiling, 3)
-    turns = legs[0]["run"]["turns"] if legs else 0
-
-    result = dict(n_convs=n_convs, low_cores=low, high_cores=high,
-                  t_low=t_low, t_high=t_high,
-                  scaling_efficiency_raw=eff,
-                  hw_clock_ceiling=ceiling,
-                  scaling_efficiency_clock_normalized=eff_norm,
-                  clean_legs=counts, tol=tol,
-                  legs=[dict(level=g["level"], seconds=g["run"]["seconds"],
-                             clean=g["clean"], pre=g["pre"], post=g["post"])
-                        for g in legs])
-    print(json.dumps(result))
-
-    rows = "\n".join(
-        "| {i} | local[{lv}] | {s} | {c} | {pl} / {ph} | {ql} / {qh} |".format(
-            i=i + 1, lv=g["level"], s=g["run"]["seconds"],
-            c="yes" if g["clean"] else "NO — discarded",
-            pl=g["pre"]["low"], ph=g["pre"]["high"],
-            ql=g["post"]["low"], qh=g["post"]["high"])
-        for i, g in enumerate(legs))
-    gate = "" if (counts[low] >= n_clean and counts[high] >= n_clean) else (
-        f"\n> **Disclosure:** the protocol targeted ≥{n_clean} clean legs"
-        f" per level but the budget ended with {counts[low]}×local[{low}]"
-        f" / {counts[high]}×local[{high}] clean legs.\n")
-
-    md = f"""# BENCH — throughput + scaling evidence
-
-Full parse→enrich→route→aggregate pipeline (staged materialization —
-the cluster deployment path) over the deterministic synthetic
-transcript corpus ({n_convs:,} conversations, {turns:,} turn rows;
-skewed format sizes per `logs/DESIGN.md:9-11`).  Identical job,
-identical input, two parallelism levels, fresh JVM per leg — the
-sandbox evidence protocol for the north rule's two-cluster-size
-criterion.
-
-**Interference-gated protocol**: a pure-CPU clock sentinel (equal work
-per process, no memory traffic, no JVM) runs at BOTH concurrency
-levels immediately before and after every leg; a leg is kept only if
-both bracketing readings AT THE LEG'S OWN concurrency are within
-{tol:.0%} of the session-best reading at that concurrency — i.e. the
-machine's per-core speed in the regime the leg actually ran in was as
-fast as it ever was this session.  (The other level's reading is
-published for the record but does not gate: it measures a different
-turbo/contention regime and certifies nothing about this leg;
-cross-level comparability holds because BOTH levels' kept legs must
-hit session-best at their own concurrency.)  Legs from loaded windows
-are discarded by protocol — no after-the-fact normalization enters
-the headline number.  Efficiency uses min-of-clean per level
-({counts[low]} clean local[{low}] legs, {counts[high]} clean
-local[{high}] legs).
-{gate}
-| leg | parallelism | wall-clock (s) | clean | sentinel pre (c{low} / c{high}) | sentinel post (c{low} / c{high}) |
-| --- | --- | --- | --- | --- | --- |
-{rows}
-
-| parallelism | best clean wall-clock (s) | turns/sec |
-| --- | --- | --- |
-| local[{low}] | {t_low} | {round(turns / t_low, 1):,} |
-| local[{high}] | {t_high} | {round(turns / t_high, 1):,} |
-
-**Raw scaling efficiency {low}→{high} cores:
-(T{low}/T{high}) / ({high}/{low}) = {eff}** (target ≥ 0.8).
-
-**Hardware clock ceiling** on this host this session: the sentinel
-runs {ceiling}× slower per core at {high}-way concurrency than at
-{low}-way (shared-host turbo/frequency scaling).  That ceiling bounds
-ANY job's raw efficiency at {ceiling} on this box; a real N→4N
-*executor* scale-out (more hosts, constant clocks) does not pay it.
-Clock-normalized efficiency — context, not the headline: {eff_norm}.
-
-Measured by `scripts/scaling.py {n_convs} {low} {high}`;
-`bench.py` reports the per-round headline numbers the driver records.
-"""
-    # retained evidence sections (waste forensics, fixed-cost method,
-    # streaming micro-bench, headline config) live in a supplement file
-    # so protocol reruns don't erase them
-    supp = "/root/repo/scripts/bench_supplement.md"
-    if os.path.exists(supp):
-        with open(supp) as f:
-            md += f.read()
-    with open("/root/repo/BENCH.md", "w") as f:
-        f.write(md)
-    print("wrote /root/repo/BENCH.md")
+    write_report(p, n_clean)
 
 
 if __name__ == "__main__":
