@@ -2,13 +2,19 @@
 
 The scaling protocol (north rule: raw efficiency >=0.8 from N to 4N)
 keeps a leg only if the clock sentinel AT THE LEG'S OWN concurrency
-read session-best (within tol) both immediately before and after the
-leg.  These tests pin the gate semantics without running Spark.
+read ROUND-best (within tol) both immediately before and after the
+leg — round-best being the fastest reading ever observed at that
+concurrency across all protocol runs this round, persisted on disk so
+a uniformly loaded session cannot grade its own depressed legs clean
+against its own depressed best.  These tests pin the gate semantics
+without running Spark.
 """
 
 import importlib.util
 import os
 import sys
+
+import pytest
 
 _spec = importlib.util.spec_from_file_location(
     "scaling", os.path.join(os.path.dirname(__file__), os.pardir,
@@ -19,74 +25,108 @@ _spec.loader.exec_module(scaling)
 LOW, HIGH, TOL = 2, 8, 0.05
 
 
+@pytest.fixture
+def proto(tmp_path, monkeypatch):
+    monkeypatch.setattr(scaling, "HISTORY_PATH",
+                        str(tmp_path / "history.json"))
+    monkeypatch.setattr(scaling, "LEGS_PATH",
+                        str(tmp_path / "legs_{n}_{low}_{high}.json"))
+
+    def make():
+        return scaling.Protocol(1000, LOW, HIGH, TOL)
+
+    return make
+
+
 def leg(level, pre_low, pre_high, post_low, post_high, seconds=100.0):
     return {"level": level,
-            "run": {"seconds": seconds, "turns": 1},
+            "run": {"cores": level, "seconds": seconds, "turns": 1},
             "pre": {"low": pre_low, "high": pre_high},
             "post": {"low": post_low, "high": post_high}}
 
 
-def samples_from(legs, first=(3.0, 3.0)):
-    s = [{"low": first[0], "high": first[1]}]
-    s += [g["post"] for g in legs]
-    return s
-
-
-def test_clean_leg_within_tol_is_kept():
-    legs = [leg(LOW, 3.0, 3.0, 3.1, 3.0)]
-    counts, best = scaling.gate_legs(legs, samples_from(legs),
-                                     LOW, HIGH, TOL)
-    assert legs[0]["clean"] is True
+def test_clean_leg_within_tol_is_kept(proto):
+    p = proto()
+    p.add_leg(leg(LOW, 3.0, 3.0, 3.1, 3.0))
+    p.observe({"low": 3.0, "high": 3.0})
+    counts, best = p.gate()
+    assert p.legs[0]["clean"] is True
     assert counts == {LOW: 1, HIGH: 0}
     assert best == {"low": 3.0, "high": 3.0}
 
 
-def test_loaded_window_leg_is_discarded():
-    # pre sentinel at the leg's own concurrency 20% over session best
-    legs = [leg(LOW, 3.6, 3.0, 3.0, 3.0)]
-    counts, _ = scaling.gate_legs(legs, samples_from(legs),
-                                  LOW, HIGH, TOL)
-    assert legs[0]["clean"] is False
+def test_loaded_window_leg_is_discarded(proto):
+    # pre sentinel at the leg's own concurrency 20% over round best
+    p = proto()
+    p.observe({"low": 3.0, "high": 3.0})
+    p.add_leg(leg(LOW, 3.6, 3.0, 3.0, 3.0))
+    counts, _ = p.gate()
+    assert p.legs[0]["clean"] is False
     assert counts == {LOW: 0, HIGH: 0}
 
 
-def test_other_level_sentinel_does_not_gate():
+def test_other_level_sentinel_does_not_gate(proto):
     # the HIGH-concurrency reading is way off during a LOW leg: the
     # leg still gates only on its own concurrency's readings
-    legs = [leg(LOW, 3.0, 9.9, 3.0, 9.9)]
-    counts, _ = scaling.gate_legs(legs, samples_from(legs,
-                                                     first=(3.0, 3.0)),
-                                  LOW, HIGH, TOL)
-    assert legs[0]["clean"] is True
+    p = proto()
+    p.observe({"low": 3.0, "high": 3.0})
+    p.add_leg(leg(LOW, 3.0, 9.9, 3.0, 9.9))
+    counts, _ = p.gate()
+    assert p.legs[0]["clean"] is True
     assert counts[LOW] == 1
 
 
-def test_post_reading_gates_too():
-    legs = [leg(HIGH, 3.0, 3.0, 3.0, 3.9)]
-    counts, _ = scaling.gate_legs(legs, samples_from(legs),
-                                  LOW, HIGH, TOL)
-    assert legs[0]["clean"] is False
+def test_post_reading_gates_too(proto):
+    p = proto()
+    p.observe({"low": 3.0, "high": 3.0})
+    p.add_leg(leg(HIGH, 3.0, 3.0, 3.0, 3.9))
+    counts, _ = p.gate()
+    assert p.legs[0]["clean"] is False
     assert counts[HIGH] == 0
 
 
-def test_session_best_updates_retroactively_discard():
-    # a later, faster sentinel reading lowers the session best and
+def test_round_best_updates_retroactively_discard(proto):
+    # a later, faster sentinel reading lowers the round best and
     # retroactively discards an earlier slower-window leg
-    g1 = leg(LOW, 3.0, 3.0, 3.0, 3.0)
-    g2 = leg(LOW, 2.7, 3.0, 2.7, 3.0)
-    legs = [g1, g2]
-    counts, best = scaling.gate_legs(legs, samples_from(legs),
-                                     LOW, HIGH, TOL)
+    p = proto()
+    p.add_leg(leg(LOW, 3.0, 3.0, 3.0, 3.0))
+    p.add_leg(leg(LOW, 2.7, 3.0, 2.7, 3.0))
+    counts, best = p.gate()
     assert best["low"] == 2.7
-    assert g1["clean"] is False  # 3.0 > 2.7 * 1.05
-    assert g2["clean"] is True
+    assert p.legs[0]["clean"] is False  # 3.0 > 2.7 * 1.05
+    assert p.legs[1]["clean"] is True
     assert counts[LOW] == 1
 
 
-def test_both_levels_counted_independently():
-    legs = [leg(LOW, 3.0, 3.0, 3.0, 3.0),
-            leg(HIGH, 3.0, 3.0, 3.0, 3.0),
-            leg(HIGH, 3.0, 3.2, 3.0, 3.0)]  # 3.2 > 3.0*1.05 at own level
-    counts, _ = scaling.gate_legs(legs, samples_from(legs),
-                                  LOW, HIGH, TOL)
+def test_both_levels_counted_independently(proto):
+    p = proto()
+    p.add_leg(leg(LOW, 3.0, 3.0, 3.0, 3.0))
+    p.add_leg(leg(HIGH, 3.0, 3.0, 3.0, 3.0))
+    p.add_leg(leg(HIGH, 3.0, 3.2, 3.0, 3.0))  # 3.2 > 3.0*1.05 own level
+    counts, _ = p.gate()
     assert counts == {LOW: 1, HIGH: 1}
+
+
+def test_round_best_persists_across_protocol_runs(proto):
+    # run 1 observes a fast window and records a leg
+    p1 = proto()
+    p1.observe({"low": 2.5, "high": 2.6})
+    p1.add_leg(leg(LOW, 2.5, 2.6, 2.55, 2.6))
+    # run 2 (fresh process): its own session never sees a fast window,
+    # so its depressed legs must NOT grade clean against themselves
+    p2 = proto()
+    assert p2.best() == {"low": 2.5, "high": 2.6}
+    assert len(p2.legs) == 1  # legs merged across runs
+    p2.add_leg(leg(LOW, 3.4, 3.4, 3.5, 3.4))
+    counts, _ = p2.gate()
+    assert p2.legs[1]["clean"] is False
+    assert counts[LOW] == 1  # only run 1's fast-window leg
+
+
+def test_window_clean_checks_own_level_only(proto):
+    p = proto()
+    p.observe({"low": 2.8, "high": 2.9})
+    assert p.window_clean({"low": 2.9, "high": 9.9}, LOW)
+    assert not p.window_clean({"low": 3.5, "high": 2.9}, LOW)
+    assert p.window_clean({"low": 9.9, "high": 2.95}, HIGH)
+    assert not p.window_clean({"low": 2.8, "high": 3.6}, HIGH)
