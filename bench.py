@@ -27,10 +27,41 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def _wait_for_scaling_protocol(max_wait_s: float = 1800.0) -> None:
+    """If the scaling-evidence protocol (scripts/scaling.py) is mid-leg,
+    wait for it rather than measuring two Spark jobs fighting over the
+    same cores — both records would be garbage.  Notes go to stderr;
+    stdout stays the single JSON line."""
+
+    def running():
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+            except OSError:
+                continue
+            if "scripts/scaling.py" in cmd:
+                return int(pid)
+        return None
+
+    t0, pid = time.time(), running()
+    while pid is not None and time.time() - t0 < max_wait_s:
+        print(f"bench: scaling protocol (pid {pid}) is running — "
+              "waiting so neither measurement is polluted", file=sys.stderr)
+        time.sleep(30)
+        pid = running()
+    if pid is not None:
+        print(f"bench: scaling protocol still running after "
+              f"{max_wait_s:.0f}s — proceeding anyway", file=sys.stderr)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("STATS_SPARK_BENCH_CONVS", "200000"))
+    _wait_for_scaling_protocol()
 
     from stats_spark.session import get_spark
     from stats_spark.datagen import corpus, dims
