@@ -28,12 +28,16 @@ if REPO not in sys.path:
 
 
 def _wait_for_scaling_protocol(max_wait_s: float = 1800.0) -> None:
-    """If the scaling-evidence protocol (scripts/scaling.py) is mid-leg,
+    """If the scaling-evidence protocol (scripts/scaling.py) is mid-LEG,
     wait for it rather than measuring two Spark jobs fighting over the
-    same cores — both records would be garbage.  Notes go to stderr;
-    stdout stays the single JSON line."""
+    same cores — both records would be garbage.  A protocol that is
+    merely probe-waiting for a clean window (its sentinel costs a few
+    CPU-seconds a minute, and the probe correctly reads the bench as a
+    dirty window so no leg launches under us) is not worth waiting on.
+    Notes go to stderr; stdout stays the single JSON line."""
 
-    def running():
+    def scan():
+        coordinator = leg = None
         for pid in os.listdir("/proc"):
             if not pid.isdigit() or int(pid) == os.getpid():
                 continue
@@ -43,18 +47,26 @@ def _wait_for_scaling_protocol(max_wait_s: float = 1800.0) -> None:
             except OSError:
                 continue
             if "scripts/scaling.py" in cmd:
-                return int(pid)
-        return None
+                coordinator = int(pid)
+            # the measured-leg worker is `python -c <WORKER>` whose
+            # source names its output dir scale_out_{cores}
+            elif "scale_out_" in cmd:
+                leg = int(pid)
+        return coordinator, leg
 
-    t0, pid = time.time(), running()
-    while pid is not None and time.time() - t0 < max_wait_s:
-        print(f"bench: scaling protocol (pid {pid}) is running — "
+    t0 = time.time()
+    coordinator, leg = scan()
+    while leg is not None and time.time() - t0 < max_wait_s:
+        print(f"bench: scaling-protocol leg (pid {leg}) is mid-run — "
               "waiting so neither measurement is polluted", file=sys.stderr)
         time.sleep(30)
-        pid = running()
-    if pid is not None:
-        print(f"bench: scaling protocol still running after "
+        coordinator, leg = scan()
+    if leg is not None:
+        print(f"bench: scaling leg still running after "
               f"{max_wait_s:.0f}s — proceeding anyway", file=sys.stderr)
+    elif coordinator is not None:
+        print(f"bench: scaling protocol (pid {coordinator}) is probe-"
+              "waiting, not mid-leg — proceeding", file=sys.stderr)
 
 
 def main():
