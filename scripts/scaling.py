@@ -375,15 +375,23 @@ def main():
             print(f"WARNING: stopping with clean counts {counts} "
                   f"(target {n_clean} per level)", file=sys.stderr)
             break
+        # refresh per-leg duration estimates from completed legs
+        for lv in (low, high):
+            done = [g["run"]["seconds"] for g in p.legs if g["level"] == lv]
+            if done:
+                est[lv] = min(done)
         # which levels still need clean legs? (a level with NO legs at
         # all outranks everything — the report needs one per level)
         if have[low] == 0 or have[high] == 0:
             needed = [low if have[low] == 0 else high]
         else:
             short = [lv for lv in (low, high) if counts[lv] < n_clean]
-            # fewest clean first; ties by fewest total legs, then low
-            needed = sorted(short, key=lambda lv: (counts[lv], have[lv],
-                                                   lv != low))
+            # shortest estimated leg first: clean windows are the
+            # scarce resource, and a short leg both fits more windows
+            # and risks less machine time if the window closes mid-leg.
+            # Scheduling only — grading (min-of-clean per level, both
+            # levels required) is unaffected by launch order.
+            needed = sorted(short, key=lambda lv: (est[lv], counts[lv]))
         # probe the window; launch the first needed level whose own
         # concurrency reads clean — a doomed leg costs 10-30 min, a
         # probe costs seconds.  A leg launched into a dirty window can
@@ -413,9 +421,6 @@ def main():
                   "window", file=sys.stderr)
             break
         # don't start a leg the budget can't fit (stops mid-run churn)
-        done = [g["run"]["seconds"] for g in p.legs if g["level"] == level]
-        if done:
-            est[level] = min(done)
         if (time.time() - t_start) + est[level] > budget * 1.15 and \
                 have[low] > 0 and have[high] > 0:
             print(f"WARNING: {est[level]:.0f}s leg does not fit the "
