@@ -47,10 +47,21 @@ is still reported — it bounds any job's raw efficiency on a turbo
 host and is the figure a real N→4N scale-out (more hosts, constant
 clocks) does not pay — but the headline number is RAW.
 
+While probe-waiting, if the host instead holds a STABLE clock that is
+below round-best (two consecutive probes agree at both levels within
+TOL and the within-window ceiling is ≥0.97), the dead time is spent on
+a UNIFORM-WINDOW PAIRED MEASUREMENT: T_high then T_low back to back,
+bracketed by three sentinels; the pair is valid only if the clock held
+through both legs and neither leg paid a turbo differential.  Nothing
+is normalized — a constant clock cancels in the ratio — and each
+pair's absolute clock vs round-best is disclosed.  Pairs are reported
+in their own BENCH.md section; the round-best-gated table stays the
+headline.
+
 Usage: python scripts/scaling.py [n_convs] [low_cores] [high_cores]
 Env:   SCALING_N_CLEAN (3)  SCALING_TOL (0.05)
        SCALING_BUDGET_S (7200)  SCALING_MAX_LEGS (12)
-       SCALING_PROBE_SLEEP_S (45)
+       SCALING_PROBE_SLEEP_S (45)  SCALING_PAIRS (3)
 """
 
 from __future__ import annotations
@@ -65,6 +76,7 @@ sys.path.insert(0, "/root/repo")
 
 HISTORY_PATH = "/root/repo/data/sentinel_history.json"
 LEGS_PATH = "/root/repo/data/scaling_legs_{n}_{low}_{high}.json"
+PAIRS_PATH = "/root/repo/data/scaling_pairs_{n}_{low}_{high}.json"
 
 WORKER = r"""
 import json, os, sys, time
@@ -176,6 +188,27 @@ def shutdown_gateway():
             continue
 
 
+def pair_valid(s0: dict, s1: dict, s2: dict, tol: float,
+               ceiling_floor: float = 0.97) -> tuple[bool, float, bool]:
+    """Grade a uniform-window (T_high, T_low) pair from its three
+    bracketing sentinel samples.  Valid iff (a) the clock held through
+    the whole pair — the three readings at EACH concurrency spread
+    less than tol — and (b) the within-pair clock ceiling
+    (per-core speed at high concurrency vs low) is ≥ ceiling_floor,
+    i.e. no turbo differential between the two legs' regimes.  No
+    reading is adjusted: a valid pair's raw ratio needs no
+    normalization because the absolute clock, whatever it is, is the
+    SAME for both legs and both concurrencies.
+
+    Returns (valid, ceiling, stable)."""
+    lows = [s0["low"], s1["low"], s2["low"]]
+    highs = [s0["high"], s1["high"], s2["high"]]
+    stable = (max(lows) / min(lows) <= 1 + tol
+              and max(highs) / min(highs) <= 1 + tol)
+    ceiling = round(min(lows) / min(highs), 4)
+    return stable and ceiling >= ceiling_floor, ceiling, stable
+
+
 class Protocol:
     """Round-persistent state: sentinel bests + merged legs."""
 
@@ -183,6 +216,8 @@ class Protocol:
         self.n_convs, self.low, self.high, self.tol = n_convs, low, high, tol
         self.legs_path = LEGS_PATH.format(n=n_convs, low=low, high=high)
         self.legs = load_json(self.legs_path, [])
+        self.pairs_path = PAIRS_PATH.format(n=n_convs, low=low, high=high)
+        self.pairs = load_json(self.pairs_path, [])
         self.history = load_json(HISTORY_PATH, {})
 
     def observe(self, sample: dict) -> None:
@@ -222,6 +257,51 @@ class Protocol:
         self.legs.append(leg)
         self.observe(leg["post"])
         save_json(self.legs_path, self.legs)
+
+    def add_pair(self, pair: dict) -> None:
+        self.pairs.append(pair)
+        save_json(self.pairs_path, self.pairs)
+
+    def valid_pairs(self) -> list[dict]:
+        return [q for q in self.pairs if q["valid"]]
+
+
+def run_pair(p: Protocol, pre: dict) -> dict | None:
+    """Uniform-window paired measurement: T_high then T_low back to
+    back, bracketed by three sentinel samples (`pre` is the probe that
+    qualified the window).  Both legs also merge into the absolute
+    round-best-gated store with their real brackets (they grade clean
+    there only if the window happened to be at round-best speed).
+    Aborts after the first leg if the window already drifted."""
+    low, high, tol, n = p.low, p.high, p.tol, p.n_convs
+    r_high = run_level(high, n)
+    mid = sentinel(low, high)
+    p.observe(mid)
+    p.add_leg(dict(level=high, run=r_high, pre=pre, post=mid,
+                   probe_wait_s=0, pair=len(p.pairs) + 1))
+    drifted = (max(pre["high"], mid["high"])
+               / min(pre["high"], mid["high"]) > 1 + tol)
+    if drifted:
+        print(json.dumps(dict(pair_aborted=True, pre=pre, mid=mid)),
+              flush=True)
+        return None
+    r_low = run_level(low, n)
+    post = sentinel(low, high)
+    p.observe(post)
+    p.add_leg(dict(level=low, run=r_low, pre=mid, post=post,
+                   probe_wait_s=0, pair=len(p.pairs) + 1))
+    valid, ceiling, stable = pair_valid(pre, mid, post, tol)
+    best_low = p.best()["low"]
+    clock_vs_best = round(min(pre["low"], mid["low"], post["low"])
+                          / best_low, 3) if best_low else None
+    pair = dict(
+        t_low=r_low["seconds"], t_high=r_high["seconds"],
+        raw=round((r_low["seconds"] / r_high["seconds"]) / (high / low), 3),
+        s0=pre, s1=mid, s2=post, valid=valid, ceiling=ceiling,
+        stable=stable, clock_vs_round_best=clock_vs_best)
+    p.add_pair(pair)
+    print(json.dumps(dict(pair=len(p.pairs), **pair)), flush=True)
+    return pair
 
 
 def write_report(p: Protocol, n_clean: int, partial_note: str = "") -> None:
@@ -321,6 +401,8 @@ Clock-normalized efficiency — context, not the headline: {eff_norm}.
 Measured by `scripts/scaling.py {p.n_convs} {low} {high}`;
 `bench.py` reports the per-round headline numbers the driver records.
 """
+    if p.pairs:
+        md += _pairs_section(p)
     # retained evidence sections (waste forensics, fixed-cost method,
     # streaming micro-bench, headline config) live in a supplement file
     # so protocol reruns don't erase them
@@ -333,6 +415,52 @@ Measured by `scripts/scaling.py {p.n_convs} {low} {high}`;
     print("wrote /root/repo/BENCH.md", file=sys.stderr)
 
 
+def _pairs_section(p: Protocol) -> str:
+    low, high, tol = p.low, p.high, p.tol
+    rows = "\n".join(
+        "| {i} | {tl} | {th} | **{raw}** | {c} | {cvb} | {s0l}/{s0h} → "
+        "{s1l}/{s1h} → {s2l}/{s2h} | {v} |".format(
+            i=i + 1, tl=q["t_low"], th=q["t_high"], raw=q["raw"],
+            c=q["ceiling"], cvb=q.get("clock_vs_round_best", "—"),
+            s0l=q["s0"]["low"], s0h=q["s0"]["high"],
+            s1l=q["s1"]["low"], s1h=q["s1"]["high"],
+            s2l=q["s2"]["low"], s2h=q["s2"]["high"],
+            v="yes" if q["valid"] else "NO — discarded")
+        for i, q in enumerate(p.pairs))
+    valid = p.valid_pairs()
+    raws = sorted(q["raw"] for q in valid)
+    med = raws[len(raws) // 2] if raws else None
+    summary = (f"**{len(valid)} valid pair(s); raw efficiencies "
+               f"{', '.join(str(r) for r in raws)} (median {med})**."
+               if valid else
+               "No pair has graded valid yet.")
+    return f"""
+## Uniform-window paired measurement (no normalization)
+
+Complementary evidence for the same criterion, taken when the host
+holds a STABLE clock that is below round-best: a local[{high}] leg and
+a local[{low}] leg run back to back, bracketed by three sentinel
+samples.  A pair is valid iff the clock held through the whole pair
+(the three readings at each concurrency spread < {tol:.0%}) and the
+within-pair clock ceiling — per-core sentinel speed at {high}-way vs
+{low}-way — is ≥ 0.97, i.e. neither leg pays a turbo differential the
+other doesn't.  Nothing is adjusted: the absolute clock, whatever it
+is, is the same for both legs, so the raw ratio stands on its own.
+This is the faithful sandbox analog of a constant-clock N→4N executor
+scale-out (more hosts, same clocks) — the regime the round-best-gated
+table's 2-way legs get a turbo bonus in.  Each pair's absolute clock
+vs the round-best is disclosed (`clock vs best`, <1 = slower host).
+Pair legs also appear in the merged table above with their real
+brackets, graded by the round-best gate like any other leg.
+
+| pair | T{low} (s) | T{high} (s) | raw eff | ceiling | clock vs best | sentinels pre → mid → post (c{low}/c{high}) | valid |
+| --- | --- | --- | --- | --- | --- | --- | --- | --- |
+{rows}
+
+{summary}
+"""
+
+
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -342,6 +470,7 @@ def main():
     budget = float(os.environ.get("SCALING_BUDGET_S", "7200"))
     max_legs = int(os.environ.get("SCALING_MAX_LEGS", "12"))
     probe_sleep = float(os.environ.get("SCALING_PROBE_SLEEP_S", "45"))
+    pairs_target = int(os.environ.get("SCALING_PAIRS", "3"))
 
     p = Protocol(n_convs, low, high, tol)
 
@@ -398,7 +527,12 @@ def main():
         # NEVER grade clean (round-best only falls), so there is no
         # launch-anyway fallback: wait until the window clears or the
         # budget runs out (the merged prior record stands either way).
+        # While waiting, if the host holds a STABLE below-round-best
+        # clock (two consecutive probes agree at both levels and the
+        # within-window ceiling is ≥0.97), spend the dead time on a
+        # uniform-window paired measurement instead of idling.
         waited = 0.0
+        prev_probe = None
         while True:
             probe = sentinel(low, high)
             p.observe(probe)
@@ -410,10 +544,24 @@ def main():
             if time.time() - t_start > budget:
                 level = None
                 break
+            if (len(p.valid_pairs()) < pairs_target
+                    and prev_probe is not None
+                    and all(max(prev_probe[k], probe[k])
+                            / min(prev_probe[k], probe[k]) <= 1 + tol
+                            for k in ("low", "high"))
+                    and probe["low"] / probe["high"] >= 0.97):
+                slow = probe["low"] / p.best()["low"]
+                if ((time.time() - t_start)
+                        + (est[low] + est[high]) * slow <= budget * 1.15):
+                    run_pair(p, probe)
+                    write_report(p, n_clean)
+                    prev_probe = None
+                    continue
             if waited and waited % 600 < probe_sleep:
                 print(f"still waiting for a clean window ({waited:.0f}s; "
                       f"probe {probe}, gate {p.best()} +{tol:.0%})",
                       file=sys.stderr)
+            prev_probe = probe
             time.sleep(probe_sleep)
             waited += probe_sleep
         if level is None:

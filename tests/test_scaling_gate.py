@@ -31,6 +31,8 @@ def proto(tmp_path, monkeypatch):
                         str(tmp_path / "history.json"))
     monkeypatch.setattr(scaling, "LEGS_PATH",
                         str(tmp_path / "legs_{n}_{low}_{high}.json"))
+    monkeypatch.setattr(scaling, "PAIRS_PATH",
+                        str(tmp_path / "pairs_{n}_{low}_{high}.json"))
 
     def make():
         return scaling.Protocol(1000, LOW, HIGH, TOL)
@@ -130,3 +132,54 @@ def test_window_clean_checks_own_level_only(proto):
     assert not p.window_clean({"low": 3.5, "high": 2.9}, LOW)
     assert p.window_clean({"low": 9.9, "high": 2.95}, HIGH)
     assert not p.window_clean({"low": 2.8, "high": 3.6}, HIGH)
+
+
+# --- uniform-window paired measurement grading ---
+
+
+def S(low, high):
+    return {"low": low, "high": high}
+
+
+def test_pair_valid_stable_flat_clock():
+    # host 30% below round-best but constant and turbo-flat: valid,
+    # ceiling ~1.0 — the constant clock cancels in the ratio
+    ok, ceiling, stable = scaling.pair_valid(
+        S(3.70, 3.71), S(3.72, 3.70), S(3.71, 3.73), TOL)
+    assert ok and stable
+    assert ceiling >= 0.99
+
+
+def test_pair_invalid_if_clock_drifts_mid_pair():
+    # clock recovers between the two legs: the T_high and T_low halves
+    # ran at different speeds — ratio meaningless, discarded
+    ok, ceiling, stable = scaling.pair_valid(
+        S(3.70, 3.70), S(3.70, 3.70), S(2.90, 2.90), TOL)
+    assert not ok and not stable
+
+
+def test_pair_invalid_if_turbo_differential():
+    # 8-way runs >3% slower per core than 2-way inside the window:
+    # the pair would embed a turbo tax, so it is discarded, not
+    # normalized
+    ok, ceiling, stable = scaling.pair_valid(
+        S(2.80, 2.95), S(2.80, 2.95), S(2.80, 2.95), TOL)
+    assert stable
+    assert ceiling < 0.97
+    assert not ok
+
+
+def test_pairs_persist_and_grade(proto):
+    p = proto()
+    p.add_pair(dict(t_low=1630.0, t_high=505.0, raw=0.807,
+                    s0=S(3.7, 3.7), s1=S(3.7, 3.7), s2=S(3.7, 3.7),
+                    valid=True, ceiling=1.0, stable=True,
+                    clock_vs_round_best=0.75))
+    p.add_pair(dict(t_low=1700.0, t_high=505.0, raw=0.842,
+                    s0=S(3.7, 3.7), s1=S(3.7, 3.7), s2=S(2.9, 2.9),
+                    valid=False, ceiling=1.0, stable=False,
+                    clock_vs_round_best=0.75))
+    # fresh process at the same (corpus, levels): pairs merge across runs
+    p2 = proto()
+    assert len(p2.pairs) == 2
+    assert [q["raw"] for q in p2.valid_pairs()] == [0.807]
