@@ -449,11 +449,13 @@ is, is the same for both legs, so the raw ratio stands on its own.
 This is the faithful sandbox analog of a constant-clock N→4N executor
 scale-out (more hosts, same clocks) — the regime the round-best-gated
 table's 2-way legs get a turbo bonus in.  Each pair's absolute clock
-vs the round-best is disclosed (`clock vs best`, <1 = slower host).
+is disclosed as `clock slowdown ×` — the pair window's best 2-way
+sentinel over the round-best (1.31 = the host ran 31% slower than the
+round-best window; the raw ratio is still internally consistent).
 Pair legs also appear in the merged table above with their real
 brackets, graded by the round-best gate like any other leg.
 
-| pair | T{low} (s) | T{high} (s) | raw eff | ceiling | clock vs best | sentinels pre → mid → post (c{low}/c{high}) | valid |
+| pair | T{low} (s) | T{high} (s) | raw eff | ceiling | clock slowdown × | sentinels pre → mid → post (c{low}/c{high}) | valid |
 | --- | --- | --- | --- | --- | --- | --- | --- | --- |
 {rows}
 
