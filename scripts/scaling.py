@@ -50,13 +50,17 @@ clocks) does not pay — but the headline number is RAW.
 While probe-waiting, if the host instead holds a STABLE clock that is
 below round-best (two consecutive probes agree at both levels within
 TOL and the within-window ceiling is ≥0.97), the dead time is spent on
-a UNIFORM-WINDOW PAIRED MEASUREMENT: T_high then T_low back to back,
-bracketed by three sentinels; the pair is valid only if the clock held
-through both legs and neither leg paid a turbo differential.  Nothing
-is normalized — a constant clock cancels in the ratio — and each
-pair's absolute clock vs round-best is disclosed.  Pairs are reported
-in their own BENCH.md section; the round-best-gated table stays the
-headline.
+a UNIFORM-WINDOW PAIRED MEASUREMENT: T_high, T_low, then T_high again
+(A-B-A), bracketed by four sentinels.  Two validity instruments per
+pair, graded independently: sentinel-valid (clock held through the
+T_high→T_low window AND within-pair ceiling ≥0.97) and
+job-bracket-valid (the two T_high legs agree within TOL at the job's
+own clock — the stronger instrument, since the python sentinel and the
+JVM job demonstrably decouple on this host; a spike during T_low can
+only deflate the number).  Nothing is normalized — a constant clock
+cancels in the ratio — and each pair's absolute clock vs round-best is
+disclosed.  Pairs are reported in their own BENCH.md section; the
+round-best-gated table stays the headline.
 
 Usage: python scripts/scaling.py [n_convs] [low_cores] [high_cores]
 Env:   SCALING_N_CLEAN (3)  SCALING_TOL (0.05)
@@ -263,7 +267,10 @@ class Protocol:
         save_json(self.pairs_path, self.pairs)
 
     def valid_pairs(self) -> list[dict]:
-        return [q for q in self.pairs if q["valid"]]
+        """Pairs valid under EITHER instrument: the sentinel rule or
+        the A-B-A job bracket (older records may lack the bracket)."""
+        return [q for q in self.pairs
+                if q["valid"] or q.get("job_valid")]
 
 
 def run_pair(p: Protocol, pre: dict) -> dict | None:
@@ -290,14 +297,31 @@ def run_pair(p: Protocol, pre: dict) -> dict | None:
     p.observe(post)
     p.add_leg(dict(level=low, run=r_low, pre=mid, post=post,
                    probe_wait_s=0, pair=len(p.pairs) + 1))
+    # A-B-A job bracket: repeat the high leg AFTER the low leg.  The
+    # job is its own best clock (the pure-CPU sentinel and the JVM
+    # pipeline demonstrably decouple on this host): if the two high
+    # legs agree within tol, the machine state provably held through
+    # the low leg at the job's own clock.  A transient spike during
+    # the low leg can only DEFLATE the measured efficiency, and a
+    # spike during either high leg shows up as A-B spread — the
+    # bracket cannot inflate the number.
+    r_high2 = run_level(high, n)
+    end = sentinel(low, high)
+    p.observe(end)
+    p.add_leg(dict(level=high, run=r_high2, pre=post, post=end,
+                   probe_wait_s=0, pair=len(p.pairs) + 1))
     valid, ceiling, stable = pair_valid(pre, mid, post, tol)
+    th_a, th_b = r_high["seconds"], r_high2["seconds"]
+    job_spread = round(max(th_a, th_b) / min(th_a, th_b), 4)
+    th_mean = (th_a + th_b) / 2
     best_low = p.best()["low"]
     clock_vs_best = round(min(pre["low"], mid["low"], post["low"])
                           / best_low, 3) if best_low else None
     pair = dict(
-        t_low=r_low["seconds"], t_high=r_high["seconds"],
-        raw=round((r_low["seconds"] / r_high["seconds"]) / (high / low), 3),
-        s0=pre, s1=mid, s2=post, valid=valid, ceiling=ceiling,
+        t_low=r_low["seconds"], t_high=th_a, t_high2=th_b,
+        raw=round((r_low["seconds"] / th_mean) / (high / low), 3),
+        job_spread=job_spread, job_valid=job_spread <= 1 + tol,
+        s0=pre, s1=mid, s2=post, s3=end, valid=valid, ceiling=ceiling,
         stable=stable, clock_vs_round_best=clock_vs_best)
     p.add_pair(pair)
     print(json.dumps(dict(pair=len(p.pairs), **pair)), flush=True)
@@ -418,45 +442,78 @@ Measured by `scripts/scaling.py {p.n_convs} {low} {high}`;
 def _pairs_section(p: Protocol) -> str:
     low, high, tol = p.low, p.high, p.tol
     rows = "\n".join(
-        "| {i} | {tl} | {th} | **{raw}** | {c} | {cvb} | {s0l}/{s0h} → "
-        "{s1l}/{s1h} → {s2l}/{s2h} | {v} |".format(
-            i=i + 1, tl=q["t_low"], th=q["t_high"], raw=q["raw"],
+        "| {i} | {tl} | {th} | {th2} | **{raw}** | {js} | {jv} | {c} | "
+        "{cvb} | {s0l}/{s0h} → {s1l}/{s1h} → {s2l}/{s2h}{s3} | {v} |"
+        .format(
+            i=i + 1, tl=q["t_low"], th=q["t_high"],
+            th2=q.get("t_high2", "—"), raw=q["raw"],
+            js=q.get("job_spread", "—"),
+            jv=("yes" if q.get("job_valid")
+                else "—" if "job_valid" not in q else "NO"),
             c=q["ceiling"], cvb=q.get("clock_vs_round_best", "—"),
             s0l=q["s0"]["low"], s0h=q["s0"]["high"],
             s1l=q["s1"]["low"], s1h=q["s1"]["high"],
             s2l=q["s2"]["low"], s2h=q["s2"]["high"],
-            v="yes" if q["valid"] else "NO — discarded")
+            s3=(" → {}/{}".format(q["s3"]["low"], q["s3"]["high"])
+                if "s3" in q else ""),
+            v="yes" if q["valid"] else "NO")
         for i, q in enumerate(p.pairs))
-    valid = p.valid_pairs()
-    raws = sorted(q["raw"] for q in valid)
-    med = raws[len(raws) // 2] if raws else None
-    summary = (f"**{len(valid)} valid pair(s); raw efficiencies "
-               f"{', '.join(str(r) for r in raws)} (median {med})**."
-               if valid else
-               "No pair has graded valid yet.")
+    sent_valid = [q for q in p.pairs if q["valid"]]
+    job_valid = [q for q in p.pairs if q.get("job_valid")]
+
+    def fmt(qs):
+        raws = sorted(q["raw"] for q in qs)
+        med = raws[len(raws) // 2]
+        return f"{', '.join(str(r) for r in raws)} (median {med})"
+
+    lines = []
+    if sent_valid:
+        lines.append(f"**{len(sent_valid)} sentinel-valid pair(s): "
+                     f"raw {fmt(sent_valid)}.**")
+    if job_valid:
+        lines.append(f"**{len(job_valid)} job-bracket-valid pair(s): "
+                     f"raw {fmt(job_valid)}.**")
+    summary = ("\n".join(lines) if lines
+               else "No pair has graded valid under either instrument "
+                    "yet.")
     return f"""
 ## Uniform-window paired measurement (no normalization)
 
 Complementary evidence for the same criterion, taken when the host
 holds a STABLE clock that is below round-best: a local[{high}] leg and
 a local[{low}] leg run back to back, bracketed by three sentinel
-samples.  A pair is valid iff the clock held through the whole pair
-(the three readings at each concurrency spread < {tol:.0%}) and the
-within-pair clock ceiling — per-core sentinel speed at {high}-way vs
-{low}-way — is ≥ 0.97, i.e. neither leg pays a turbo differential the
-other doesn't.  Nothing is adjusted: the absolute clock, whatever it
-is, is the same for both legs, so the raw ratio stands on its own.
-This is the faithful sandbox analog of a constant-clock N→4N executor
-scale-out (more hosts, same clocks) — the regime the round-best-gated
-table's 2-way legs get a turbo bonus in.  Each pair's absolute clock
-is disclosed as `clock slowdown ×` — the pair window's best 2-way
-sentinel over the round-best (1.31 = the host ran 31% slower than the
-round-best window; the raw ratio is still internally consistent).
-Pair legs also appear in the merged table above with their real
-brackets, graded by the round-best gate like any other leg.
+samples, then the local[{high}] leg REPEATED (A-B-A bracket).  Two
+independent validity instruments, both graded per pair, neither
+adjusting any number:
 
-| pair | T{low} (s) | T{high} (s) | raw eff | ceiling | clock slowdown × | sentinels pre → mid → post (c{low}/c{high}) | valid |
-| --- | --- | --- | --- | --- | --- | --- | --- | --- |
+* **sentinel-valid** — the pure-CPU clock sentinel held through the
+  T{high}→T{low} window (three readings at each concurrency spread
+  < {tol:.0%}) AND the within-pair clock ceiling (per-core sentinel
+  speed at {high}-way vs {low}-way) is ≥ 0.97, i.e. neither leg pays
+  a turbo differential the other doesn't;
+* **job-bracket-valid** — the two local[{high}] legs flanking the
+  local[{low}] leg agree within {tol:.0%} at the JOB's own clock
+  (`A-B spread`).  The job is the better instrument on this host:
+  the python sentinel and the JVM pipeline demonstrably decouple
+  (406–411 s legs ran under sentinel readings 10% apart).  A
+  transient spike during the T{low} leg can only DEFLATE the
+  measured efficiency; a spike during either T{high} leg shows up as
+  A-B spread — the bracket cannot inflate the number.  raw eff uses
+  the MEAN of the two T{high} legs.
+
+Nothing is normalized: the absolute clock, whatever it is, is the
+same for all legs of a valid pair, so the raw ratio stands on its
+own — the faithful sandbox analog of a constant-clock N→4N executor
+scale-out (more hosts, same clocks), the regime the round-best-gated
+table's {low}-way legs get a turbo bonus in.  Each pair's absolute
+clock is disclosed as `clock slowdown ×` — the pair window's best
+{low}-way sentinel over the round-best (1.31 = the host ran 31%
+slower than the round-best window).  Pair legs also appear in the
+merged table above with their real brackets, graded by the
+round-best gate like any other leg.
+
+| pair | T{low} (s) | T{high} A (s) | T{high} B (s) | raw eff | A-B spread | job valid | ceiling | clock slowdown × | sentinels (c{low}/c{high}) | sentinel valid |
+| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
 {rows}
 
 {summary}
@@ -554,7 +611,8 @@ def main():
                     and probe["low"] / probe["high"] >= 0.97):
                 slow = probe["low"] / p.best()["low"]
                 if ((time.time() - t_start)
-                        + (est[low] + est[high]) * slow <= budget * 1.15):
+                        + (est[low] + 2 * est[high]) * slow
+                        <= budget * 1.15):
                     run_pair(p, probe)
                     write_report(p, n_clean)
                     prev_probe = None
