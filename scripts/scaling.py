@@ -317,12 +317,23 @@ def run_pair(p: Protocol, pre: dict) -> dict | None:
     best_low = p.best()["low"]
     clock_vs_best = round(min(pre["low"], mid["low"], post["low"])
                           / best_low, 3) if best_low else None
+    # each instrument certifies ITS OWN quantity, computable by any
+    # reader from the published legs:
+    #  * the sentinel rule certifies the s0..s2 span, which covers
+    #    T_high(A) and T_low only → raw_s = (T_low/T_high_A)/k;
+    #  * the job bracket certifies that the machine state held from
+    #    T_high(A) through T_high(B) → raw_ab uses their mean.
+    # Mixing them (e.g. averaging a bracket leg into a sentinel-valid
+    # pair whose own instrument never certified that leg) answers
+    # neither question.
     pair = dict(
         t_low=r_low["seconds"], t_high=th_a, t_high2=th_b,
-        raw=round((r_low["seconds"] / th_mean) / (high / low), 3),
+        raw_s=round((r_low["seconds"] / th_a) / (high / low), 3),
+        raw_ab=round((r_low["seconds"] / th_mean) / (high / low), 3),
         job_spread=job_spread, job_valid=job_spread <= 1 + tol,
         s0=pre, s1=mid, s2=post, s3=end, valid=valid, ceiling=ceiling,
         stable=stable, clock_vs_round_best=clock_vs_best)
+    pair["raw"] = pair["raw_ab"]  # back-compat field
     p.add_pair(pair)
     print(json.dumps(dict(pair=len(p.pairs), **pair)), flush=True)
     return pair
@@ -439,14 +450,30 @@ Measured by `scripts/scaling.py {p.n_convs} {low} {high}`;
     print("wrote /root/repo/BENCH.md", file=sys.stderr)
 
 
+def _raw_s(q, k):
+    return q.get("raw_s") or round((q["t_low"] / q["t_high"]) / k, 3)
+
+
+def _raw_ab(q, k):
+    if "t_high2" not in q:
+        return None
+    if "raw_ab" in q:
+        return q["raw_ab"]
+    mean = (q["t_high"] + q["t_high2"]) / 2
+    return round((q["t_low"] / mean) / k, 3)
+
+
 def _pairs_section(p: Protocol) -> str:
     low, high, tol = p.low, p.high, p.tol
+    k = high / low
     rows = "\n".join(
-        "| {i} | {tl} | {th} | {th2} | **{raw}** | {js} | {jv} | {c} | "
-        "{cvb} | {s0l}/{s0h} → {s1l}/{s1h} → {s2l}/{s2h}{s3} | {v} |"
+        "| {i} | {tl} | {th} | {th2} | **{rs}** | {rab} | {js} | {jv} | "
+        "{c} | {cvb} | {s0l}/{s0h} → {s1l}/{s1h} → {s2l}/{s2h}{s3} | "
+        "{v} |"
         .format(
             i=i + 1, tl=q["t_low"], th=q["t_high"],
-            th2=q.get("t_high2", "—"), raw=q["raw"],
+            th2=q.get("t_high2", "—"),
+            rs=_raw_s(q, k), rab=_raw_ab(q, k) or "—",
             js=q.get("job_spread", "—"),
             jv=("yes" if q.get("job_valid")
                 else "—" if "job_valid" not in q else "NO"),
@@ -461,18 +488,20 @@ def _pairs_section(p: Protocol) -> str:
     sent_valid = [q for q in p.pairs if q["valid"]]
     job_valid = [q for q in p.pairs if q.get("job_valid")]
 
-    def fmt(qs):
-        raws = sorted(q["raw"] for q in qs)
+    def fmt(raws):
+        raws = sorted(raws)
         med = raws[len(raws) // 2]
         return f"{', '.join(str(r) for r in raws)} (median {med})"
 
     lines = []
     if sent_valid:
         lines.append(f"**{len(sent_valid)} sentinel-valid pair(s): "
-                     f"raw {fmt(sent_valid)}.**")
+                     f"raw (T{low}/T{high}A)/{k:.0f} = "
+                     f"{fmt([_raw_s(q, k) for q in sent_valid])}.**")
     if job_valid:
         lines.append(f"**{len(job_valid)} job-bracket-valid pair(s): "
-                     f"raw {fmt(job_valid)}.**")
+                     f"raw (T{low}/mean T{high})/{k:.0f} = "
+                     f"{fmt([_raw_ab(q, k) for q in job_valid])}.**")
     summary = ("\n".join(lines) if lines
                else "No pair has graded valid under either instrument "
                     "yet.")
@@ -487,19 +516,26 @@ independent validity instruments, both graded per pair, neither
 adjusting any number:
 
 * **sentinel-valid** — the pure-CPU clock sentinel held through the
-  T{high}→T{low} window (three readings at each concurrency spread
-  < {tol:.0%}) AND the within-pair clock ceiling (per-core sentinel
-  speed at {high}-way vs {low}-way) is ≥ 0.97, i.e. neither leg pays
-  a turbo differential the other doesn't;
+  T{high}A→T{low} window (the three readings s0→s2 at each
+  concurrency spread < {tol:.0%}) AND the within-pair clock ceiling
+  (per-core sentinel speed at {high}-way vs {low}-way) is ≥ 0.97,
+  i.e. neither leg pays a turbo differential the other doesn't.
+  This instrument certifies T{high}A and T{low}, so its quantity is
+  `raw (sentinel)` = (T{low}/T{high}A)/4;
 * **job-bracket-valid** — the two local[{high}] legs flanking the
   local[{low}] leg agree within {tol:.0%} at the JOB's own clock
-  (`A-B spread`).  The job is the better instrument on this host:
-  the python sentinel and the JVM pipeline demonstrably decouple
-  (406–411 s legs ran under sentinel readings 10% apart).  A
-  transient spike during the T{low} leg can only DEFLATE the
-  measured efficiency; a spike during either T{high} leg shows up as
-  A-B spread — the bracket cannot inflate the number.  raw eff uses
-  the MEAN of the two T{high} legs.
+  (`A-B spread`).  The python sentinel and the JVM pipeline
+  demonstrably decouple on this host (383–435 s legs under
+  near-identical sentinel readings), which is exactly why the job
+  bracket exists.  A transient spike during the T{low} leg can only
+  DEFLATE the measured efficiency; a spike during either T{high} leg
+  shows up as A-B spread — the bracket cannot inflate the number.
+  Its quantity is `raw (A-B-A)` = (T{low}/mean(T{high}A,B))/4.
+
+Each instrument grades only the legs its own samples certify — a
+sentinel-valid pair does not average in the bracket leg (which runs
+AFTER the sentinel-certified s0..s2 span), and every number in the
+table is recomputable from the published legs.
 
 Nothing is normalized: the absolute clock, whatever it is, is the
 same for all legs of a valid pair, so the raw ratio stands on its
@@ -512,8 +548,8 @@ slower than the round-best window).  Pair legs also appear in the
 merged table above with their real brackets, graded by the
 round-best gate like any other leg.
 
-| pair | T{low} (s) | T{high} A (s) | T{high} B (s) | raw eff | A-B spread | job valid | ceiling | clock slowdown × | sentinels (c{low}/c{high}) | sentinel valid |
-| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
+| pair | T{low} (s) | T{high} A (s) | T{high} B (s) | raw (sentinel) | raw (A-B-A) | A-B spread | job valid | ceiling | clock slowdown × | sentinels s0 → s1 → s2 → s3 (c{low}/c{high}) | sentinel valid |
+| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
 {rows}
 
 {summary}
