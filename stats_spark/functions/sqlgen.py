@@ -85,6 +85,20 @@ def erf_sql(x: str) -> str:
 def weighting_sql(rpr: str, rprd: str, cutoff: str) -> str:
     """util.ts:416-419 as portable SQL."""
     x = f"(({rpr} - {cutoff}) / {rprd} / sqrt(2.0))"
+    return weighting_from_arg_sql(x, rprd, cutoff)
+
+
+def weighting_from_arg_sql(x: str, rprd: str, cutoff: str) -> str:
+    """``weighting_sql`` with the erf argument supplied by the caller.
+
+    erf_sql repeats its argument ~30 times; inlined, the full
+    ``(rpr-cutoff)/rprd/sqrt(2)`` subtree is re-emitted (and, in
+    codegen, re-computed) at every site — ~11.7 KB of expression text
+    per cutoff, and the pipeline's 4-cutoff wide projection blew
+    janino's 64 KB doConsume limit and silently ran INTERPRETED
+    (r06 finding).  Callers on the hot path stage ``x`` as a real
+    column first (see enrich.with_cutoff_weights); same arithmetic,
+    same order, the argument is just computed once."""
     return (f"(CASE WHEN {rprd} > 100 AND {cutoff} > 1500 THEN 0.0 "
             f"ELSE ({erf_sql(x)} + 1.0) / 2.0 END)")
 

@@ -85,10 +85,34 @@ def weighting_expr(rpr_col: str, rprd_col: str, cutoff_col: str) -> F.Column:
     numpy path uses, emitted as a Spark SQL expression (sqlgen mirrors
     the SPECFUN evaluation order, so results agree with weighting_np to
     the last ulp of exp()).  Keeps the hot mons×cutoffs frame entirely
-    inside whole-stage codegen — no Arrow round-trip."""
+    inside whole-stage codegen — no Arrow round-trip.
+
+    Hot multi-cutoff projections should use ``weighting_arg_expr`` +
+    ``weighting_expr_from_arg`` instead: the inline form re-emits the
+    (rpr-cutoff)/rprd/sqrt(2) subtree at each of erf's ~30 argument
+    sites, and four inlined copies pushed the pipeline's wide-weight
+    projection past janino's 64 KB limit (interpreted fallback)."""
     from stats_spark.functions import sqlgen
     return F.expr(sqlgen.weighting_sql(
         rpr_col, rprd_col, f"CAST({cutoff_col} AS DOUBLE)"))
+
+
+def weighting_arg_expr(rpr_col: str, rprd_col: str,
+                       cutoff_col: str) -> F.Column:
+    """The erf argument (rpr-cutoff)/rprd/sqrt(2) as a column, staged
+    once so ``weighting_expr_from_arg`` reads an attribute instead of
+    recomputing the subtree per erf site (same ops, same order)."""
+    return F.expr(f"(({rpr_col} - CAST({cutoff_col} AS DOUBLE)) "
+                  f"/ {rprd_col} / sqrt(2.0))")
+
+
+def weighting_expr_from_arg(arg_col: str, rprd_col: str,
+                            cutoff_col: str) -> F.Column:
+    """erf weighting over a pre-staged argument column (see
+    ``weighting_arg_expr``)."""
+    from stats_spark.functions import sqlgen
+    return F.expr(sqlgen.weighting_from_arg_sql(
+        arg_col, rprd_col, f"CAST({cutoff_col} AS DOUBLE)"))
 
 
 def gxe_expr(rpr_col: str, rprd_col: str) -> F.Column:

@@ -234,10 +234,24 @@ def encode_logs(battles: DataFrame, gen: int = 1) -> DataFrame:
     """Battles frame → (conv_id, ts_ms, row_hex, row) with `row` the
     fixed-width `Binary.Log` record (binary.ts:148-190).  Winner side
     first; a tie (or missing winner) keeps p1 as 'winner'
-    (binary.ts:160-161)."""
+    (binary.ts:160-161).
+
+    r06 physical split: everything with numeric/temporal SEMANTICS
+    stays a JVM column (the tz-instant ts_ms, HALF_UP rating rounding,
+    winner-side resolution, end-type CASE — compiled, and exactly the
+    r05 expressions), while the per-mon id→index lookups and byte
+    packing run VECTORIZED in ``mapInArrow`` (guide §4.2).  The r05
+    all-expression encoder evaluated the per-mon CASE-chain lookups
+    inside array ``transform`` lambdas, which Spark executes
+    INTERPRETED per element — measured ~9 s at bench scale for work
+    that is dict lookups + 77-byte packing (now <2 s).  Byte-identical
+    output, pinned by the tr_binary_db oracle hash and the round-trip
+    tests; null propagation matches concat semantics (a null
+    turns/ts/rprd-under-rated row yields null row_hex/row)."""
     if gen not in SIZES:
         raise ValueError(f"Unsupported gen {gen}")  # binary.ts:156
-    maps = {k: _lookup(v) for k, v in lookups().items()}
+    lk = lookups()
+    S = SIZES[gen]
     # the parse stage normalizes winner to p1/p2/tie (P2); raw frames
     # may still carry the player name (binary.ts:160 compares names)
     w_is_p2 = F.col("winner") == "p2"
@@ -256,20 +270,213 @@ def encode_logs(battles: DataFrame, gen: int = 1) -> DataFrame:
         p1, p2 = F.col(f"p1_{field}"), F.col(f"p2_{field}")
         return F.when(w_is_p2, p1).otherwise(p2)
 
-    row_hex = F.concat(
-        _u_le_hex(ts_ms, 8),
-        _u_le_hex(F.col("turns"), 2),
-        _u_le_hex(_end_type_expr(F.col("winner"), end_col), 1),
-        _rating_hex(side("rpr"), side("rprd")),
-        _rating_hex(other("rpr"), other("rprd")),
-        _team_hex(side("team"), maps, gen),
-        _team_hex(other("team"), maps, gen),
+    def rating_cols(rpr: F.Column, rprd: F.Column, tag: str):
+        # same rounding expressions as r05's _rating_hex: HALF_UP via
+        # F.round, rprd masked to a byte, gated on rpr presence
+        return [
+            F.when(rpr.isNotNull(), F.round(rpr).cast("long"))
+             .alias(f"{tag}_rpr"),
+            F.when(rpr.isNotNull(),
+                   F.round(rprd).cast("long").bitwiseAND(F.lit(255)))
+             .alias(f"{tag}_rprd"),
+        ]
+
+    pre = battles.select(
+        F.col("conv_id"),
+        ts_ms.alias("ts_ms"),
+        F.col("turns").cast("long").alias("turns"),
+        _end_type_expr(F.col("winner"), end_col).cast("long").alias("end"),
+        *rating_cols(side("rpr"), side("rprd"), "w"),
+        *rating_cols(other("rpr"), other("rprd"), "l"),
+        side("team").alias("w_team"),
+        other("team").alias("l_team"),
     )
-    return (battles
-            .withColumn("ts_ms", ts_ms)
-            .withColumn("row_hex", row_hex)
-            .withColumn("row", F.unhex(row_hex))
-            .select("conv_id", "ts_ms", "row_hex", "row"))
+    conv_t = battles.schema["conv_id"].dataType.simpleString()
+
+    def fn_gen1(batches):
+        """Fully vectorized gen-1 encoder: Arrow ``index_in`` resolves
+        the id→index lookups at C speed, numpy scatters the slot bytes,
+        and the hex column is ONE ``bytes.hex()`` over the whole batch
+        re-sliced by offsets — no per-row Python, no ``to_pylist`` of
+        the nested teams (measured: pylist conversion alone cost ~14 s
+        at bench scale, ~7× the rest of the encode)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        size = row_size(1)
+        sp_vals = pa.array(sorted(lk["species"], key=lk["species"].get))
+        mv_vals = pa.array(sorted(lk["moves"], key=lk["moves"].get))
+
+        def idx_of(strings: pa.Array, value_set: pa.Array) -> "np.ndarray":
+            # table position +1 (1-based ids), absent/unknown/null -> 0
+            ix = pc.index_in(strings, value_set=value_set)
+            return (pc.fill_null(pc.add(ix, 1), 0)
+                    .to_numpy(zero_copy_only=False).astype(np.uint8))
+
+        def num(col: pa.Array) -> "np.ndarray":
+            return (pc.fill_null(col, 0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+
+        def team_scatter(mat: "np.ndarray", col: pa.Array, base: int):
+            counts = (pc.fill_null(pc.list_value_length(col), 0)
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+            mons = col.flatten()          # struct array, team order
+            total = len(mons)
+            if total == 0:
+                return
+            sp = idx_of(mons.field("species"), sp_vals)
+            mvl = mons.field("moves")
+            mv_counts = (pc.fill_null(pc.list_value_length(mvl), 0)
+                         .to_numpy(zero_copy_only=False).astype(np.int64))
+            mv_off = np.zeros(total + 1, np.int64)
+            np.cumsum(mv_counts, out=mv_off[1:])
+            mv_idx = idx_of(mvl.flatten(), mv_vals)
+            row_of = np.repeat(np.arange(len(counts)), counts)
+            slot = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+            keep = slot < 6               # r05 rpad truncation
+            boff = base + slot * SIZES[1]
+            mat[row_of[keep], boff[keep]] = sp[keep]
+            nmv = len(mv_idx)
+            if nmv == 0:
+                return
+            for j in range(4):
+                pos = mv_off[:-1] + j
+                has = (pos < mv_off[1:]) & keep
+                mat[row_of[has], boff[has] + 1 + j] = \
+                    mv_idx[np.minimum(pos, max(nmv - 1, 0))][has]
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = {nm: b.column(i) for i, nm in enumerate(b.schema.names)}
+            ts, turns, end = col["ts_ms"], col["turns"], col["end"]
+            wr, wd = col["w_rpr"], col["w_rprd"]
+            lr, ld = col["l_rpr"], col["l_rprd"]
+            bad = pc.or_(pc.or_(pc.is_null(ts), pc.is_null(turns)),
+                         pc.is_null(end))
+            for r, d in ((wr, wd), (lr, ld)):
+                bad = pc.or_(bad, pc.and_(pc.is_valid(r), pc.is_null(d)))
+            bad_np = bad.to_numpy(zero_copy_only=False).astype(bool)
+
+            mat = np.zeros((n, size), np.uint8)
+            mat[:, 0:8] = num(ts).astype("<u8").view(np.uint8) \
+                                 .reshape(n, 8)
+            mat[:, 8:10] = (num(turns) & 0xFFFF).astype("<u2") \
+                .view(np.uint8).reshape(n, 2)
+            mat[:, 10] = (num(end) & 0xFF).astype(np.uint8)
+            for (r, d), (o_r, o_d) in (((wr, wd), (11, 13)),
+                                       ((lr, ld), (14, 16))):
+                present = pc.is_valid(r).to_numpy(zero_copy_only=False) \
+                            .astype(bool)
+                rv = (num(r) & 0xFFFF).astype("<u2").view(np.uint8) \
+                                      .reshape(n, 2)
+                dv = (num(d) & 0xFF).astype(np.uint8)
+                mat[present, o_r:o_r + 2] = rv[present]
+                mat[present, o_d] = dv[present]
+            team_scatter(mat, col["w_team"], 17)
+            team_scatter(mat, col["l_team"], 17 + 6 * SIZES[1])
+
+            data = mat.tobytes()
+            hex_all = data.hex().encode("ascii")
+            validity = None
+            if bad_np.any():
+                validity = pa.py_buffer(
+                    np.packbits(~bad_np, bitorder="little").tobytes())
+            n_nulls = int(bad_np.sum())
+            row_arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [validity, pa.py_buffer(
+                    np.arange(0, (n + 1) * size, size,
+                              dtype=np.int32).tobytes()),
+                 pa.py_buffer(data)], null_count=n_nulls)
+            hex_arr = pa.Array.from_buffers(
+                pa.utf8(), n,
+                [validity, pa.py_buffer(
+                    np.arange(0, (n + 1) * 2 * size, 2 * size,
+                              dtype=np.int32).tobytes()),
+                 pa.py_buffer(hex_all)], null_count=n_nulls)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), ts, hex_arr, row_arr],
+                ["conv_id", "ts_ms", "row_hex", "row"])
+
+    def fn(batches):
+        import pyarrow as pa
+        sp_m, mv_m, it_m = lk["species"], lk["moves"], lk["items"]
+        HP = len("hiddenpower")
+
+        def mon_bytes(m: dict) -> bytes:
+            out = bytearray(S)
+            if m is None:  # null slot encodes as zero bytes (r05 CASE)
+                return bytes(out)
+            out[0] = sp_m.get(m.get("species"), 0)
+            moves = m.get("moves") or []
+            if gen >= 2:
+                item = m.get("item")
+                out[1] = (0 if item is None or item == "nothing"
+                          else it_m.get(item, 0))
+                hp_t = 0
+                for mv in moves:
+                    if mv.startswith("hiddenpower") and mv != "hiddenpower":
+                        hp_t = TYPE_NUM.get(mv[HP:], 0)
+                        break
+                out[6] = hp_t
+                mv0 = 2
+                moves = ["hiddenpower" if mv.startswith("hiddenpower")
+                         else mv for mv in moves]
+            else:
+                mv0 = 1
+            for j, mv in enumerate(moves[:4]):
+                out[mv0 + j] = mv_m.get(mv, 0)
+            return bytes(out)
+
+        def team_bytes(team) -> bytes:
+            if not team:
+                return b"\x00" * (6 * S)
+            enc = b"".join(mon_bytes(m) for m in team)
+            return enc.ljust(6 * S, b"\x00")[:6 * S]
+
+        for b in batches:
+            cols = {n: b.column(i).to_pylist()
+                    for i, n in enumerate(b.schema.names)}
+            n = b.num_rows
+            out_hex: list = [None] * n
+            out_row: list = [None] * n
+            for i in range(n):
+                ts, turns, end = (cols["ts_ms"][i], cols["turns"][i],
+                                  cols["end"][i])
+                wr, wd = cols["w_rpr"][i], cols["w_rprd"][i]
+                lr, ld = cols["l_rpr"][i], cols["l_rprd"][i]
+                # concat null semantics: any null header field nulls
+                # the row (a present rpr with null rprd included)
+                if (ts is None or turns is None or end is None
+                        or (wr is not None and wd is None)
+                        or (lr is not None and ld is None)):
+                    continue
+                row = (ts.to_bytes(8, "little")
+                       + (turns & 0xFFFF).to_bytes(2, "little")
+                       + bytes([end & 0xFF])
+                       + ((wr & 0xFFFF).to_bytes(2, "little")
+                          + bytes([wd]) if wr is not None
+                          else b"\x00\x00\x00")
+                       + ((lr & 0xFFFF).to_bytes(2, "little")
+                          + bytes([ld]) if lr is not None
+                          else b"\x00\x00\x00")
+                       + team_bytes(cols["w_team"][i])
+                       + team_bytes(cols["l_team"][i]))
+                out_row[i] = row
+                out_hex[i] = row.hex()
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0),
+                 b.column(b.schema.get_field_index("ts_ms")),
+                 pa.array(out_hex, type=pa.string()),
+                 pa.array(out_row, type=pa.binary())],
+                ["conv_id", "ts_ms", "row_hex", "row"])
+
+    return pre.mapInArrow(
+        fn_gen1 if gen == 1 else fn,
+        f"conv_id {conv_t}, ts_ms long, row_hex string, row binary")
 
 
 # ---------------------------------------------------------------------
@@ -343,23 +550,88 @@ def concat_db(out_dir: str, db_path: str) -> int:
 # distributed read side — Binary.Stats over `.db` files
 # (binary.ts:245-319; consumers tools/stats + tools/teams)
 
+def _db_files(db_dir: str) -> list[tuple[str, int]]:
+    """(path, bytes) of the scan targets, name-ordered (partition order
+    == global ts order for write_db output)."""
+    import glob
+    if db_dir.endswith(".db") and os.path.isfile(db_dir):
+        files = [db_dir]
+    else:
+        files = sorted(glob.glob(os.path.join(db_dir, "part-*.db")))
+    return [(f, os.path.getsize(f)) for f in files]
+
+
+SCAN_SPLIT_BYTES = 128 * 1024 * 1024  # cluster-scale split cap
+
+
 def scan_db(spark, db_dir: str, gen: int = 1):
-    """Distributed fixed-width scan of the `.db` sink: Spark's
-    ``binaryRecords`` (FixedLengthBinaryInputFormat — SPLITTABLE, so a
-    100 TB `.db` tree fans out across executors) yields one raw record
-    per row; everything downstream is pure column expressions."""
+    """Distributed fixed-width scan of the `.db` sink via an explicit
+    record-aligned split plan + ``mapInArrow``: the driver lists the
+    part files (cheap — a handful of manifest entries per sink), cuts
+    them into record-aligned byte ranges (~1 per core, capped at
+    SCAN_SPLIT_BYTES, so a 100 TB tree fans out across executors on
+    the cap), and each task streams exactly its range into Arrow
+    binary batches.
+
+    r06: replaces the ``binaryRecords`` RDD path, which shipped every
+    record through Python PICKLING twice (an RDD ``.map`` tuple-wrap +
+    ``createDataFrame`` row conversion) before the first column
+    expression could run — measured ~3× the scan cost at bench scale.
+    Tasks open their range directly (shared-FS assumption, same as the
+    sandbox's binaryRecords use; an object-store deployment plugs
+    pyarrow.fs in ``read_fn``).
+
+    ``rec_id`` is the global record ordinal in file-name order —
+    deterministic across runs (the RDD path's monotonically_increasing_
+    id was only unique); the pairing consumers need uniqueness."""
     size = row_size(gen)
-    pattern = (db_dir if db_dir.endswith(".db")
-               else os.path.join(db_dir, "part-*.db"))
-    rdd = spark.sparkContext.binaryRecords(pattern, size)
-    # rec_id is a per-record identity (the `.db` layout carries no
-    # battle id) — teammate pairing must group per player record, not
-    # per timestamp (two battles may share a ts_ms).  monotonically_
-    # increasing_id is partition-local (no extra pass, unlike
-    # zipWithIndex) and uniqueness is all the pairing needs.
-    return (spark.createDataFrame(rdd.map(lambda b: (bytearray(b),)),
-                                  schema="row binary")
-            .withColumn("rec_id", F.monotonically_increasing_id()))
+    files = _db_files(db_dir)
+    total_recs = sum(n // size for _, n in files)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    tgt = max(1, min(SCAN_SPLIT_BYTES // size,
+                     -(-total_recs // par)))  # records per split
+    splits, base = [], 0
+    for path, nbytes in files:
+        nrec = nbytes // size
+        off = 0
+        while off < nrec:
+            n = min(tgt, nrec - off)
+            splits.append((path, off * size, n, base + off))
+            off += n
+        base += nrec
+    out_schema = "row binary, rec_id long"
+    if not splits:
+        return spark.createDataFrame([], out_schema)
+    sdf = (spark.createDataFrame(
+               splits, "path string, byte_off long, n long, rec0 long")
+           .repartition(len(splits)))
+
+    def read_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        CH = 65536  # records per yielded batch (bounds task memory)
+        for b in batches:
+            cols = [b.column(i).to_pylist() for i in range(4)]
+            for path, byte_off, n, rec0 in zip(*cols):
+                with open(path, "rb") as f:
+                    f.seek(byte_off)
+                    buf = f.read(n * size)
+                for s in range(0, n, CH):
+                    e = min(n, s + CH)
+                    chunk = buf[s * size:e * size]
+                    offs = np.arange(0, (e - s + 1) * size,
+                                     size, dtype=np.int32)
+                    rows = pa.Array.from_buffers(
+                        pa.binary(), e - s,
+                        [None, pa.py_buffer(offs.tobytes()),
+                         pa.py_buffer(chunk)])
+                    ids = pa.array(
+                        np.arange(rec0 + s, rec0 + e, dtype=np.int64),
+                        type=pa.int64())
+                    yield pa.RecordBatch.from_arrays(
+                        [rows, ids], ["row", "rec_id"])
+
+    return sdf.mapInArrow(read_fn, out_schema)
 
 
 def _u_le(col: F.Column, off: int, n: int) -> F.Column:
@@ -387,85 +659,136 @@ def decode_db(df, gen: int = 1):
     (ts_ms, turns, end_type, winner_side, lead, species, item, moves,
     rpr, rprd) — one row per non-empty team slot of each player, the
     unit `Binary.Stats.compute` iterates (binary.ts:282-316).  Players
-    without a rating (3 zero bytes) carry NULL rpr/rprd."""
+    without a rating (3 zero bytes) carry NULL rpr/rprd.
+
+    r06: the decode is a VECTORIZED numpy pass inside ``mapInArrow``
+    (guide §4.2 — fixed-width records are a reshape + column slices,
+    index→id resolution a table ``take``), replacing the r05 JVM
+    expression decode whose generated ``doConsume`` exceeded janino's
+    64 KB method limit and silently ran the whole stage INTERPRETED
+    (VERDICT r05 "What's wrong #2" — the janino stack trace in
+    BENCH_r05.json's tail).  Column-for-column the same output frame:
+    same names, types, order, null semantics (rpr/rprd null when the
+    rating bytes are zero; zero/unknown move indexes drop out of
+    ``moves``; unknown species decode to null)."""
+    size = row_size(gen)
+    S = SIZES[gen]
+    N = 6 * S
     lk = lookups()
-    N = 6 * SIZES[gen]
-    c = F.col("row")
 
-    # stage 1: pure byte slicing — INT indexes only, so the plan holds
-    # no lookup CASEs here (12 slots × 5 ids inlined per-site would
-    # make analysis/codegen quadratic; see _mon_hex_fn)
-    def mon_struct(base: int, slot: int, side: int) -> F.Column:
-        off = base + slot * SIZES[gen]
-        mv0 = off + (1 if gen == 1 else 2)
-        fields = [
-            F.lit(side).alias("side"),
-            F.lit(slot + 1).alias("slot"),
-            F.lit(slot == 0).alias("lead"),
-            _u_le(c, off, 1).cast("int").alias("sp_idx"),
-            F.array(*[_u_le(c, mv0 + j, 1).cast("int") for j in range(4)])
-             .alias("mv_idx"),
-        ]
-        if gen >= 2:
-            fields.append(_u_le(c, off + 1, 1).cast("int").alias("it_idx"))
-            fields.append(_u_le(c, off + 6, 1).cast("int").alias("hp_idx"))
-        return F.struct(*fields)
+    def _rev_table(mapping: dict[str, int]):
+        import numpy as np
+        tbl = np.empty(256, dtype=object)
+        for name, idx in mapping.items():
+            if 0 <= idx < 256:
+                tbl[idx] = name
+        return tbl
 
-    def rating(off_rpr: int, off_rprd: int):
-        rpr = _u_le(c, off_rpr, 2)
-        return (F.when(rpr != 0, rpr.cast("double")),
-                F.when(rpr != 0, _u_le(c, off_rprd, 1).cast("double")))
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        sp_t = _rev_table(lk["species"])
+        mv_t = _rev_table(lk["moves"])
+        it_t = _rev_table(lk["items"])
+        ty_t = _rev_table(TYPE_NUM)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = b.column(b.schema.get_field_index("row"))
+            offs = np.frombuffer(col.buffers()[1], np.int32)[
+                col.offset:col.offset + n + 1]
+            raw = np.frombuffer(col.buffers()[2], np.uint8)
+            assert (np.diff(offs) == size).all(), \
+                "decode_db: non-uniform record width"
+            mat = raw[offs[0]:offs[0] + n * size].reshape(n, size)
+            rec_id = b.column(b.schema.get_field_index("rec_id")) \
+                      .to_numpy(zero_copy_only=False)
 
-    r1, d1 = rating(11, 13)
-    r2, d2 = rating(14, 16)
-    sides = F.array(
-        F.struct(F.lit(1).alias("side"), r1.alias("rpr"), d1.alias("rprd"),
-                 F.array(*[mon_struct(17, s, 1) for s in range(6)])
-                  .alias("mons")),
-        F.struct(F.lit(2).alias("side"), r2.alias("rpr"), d2.alias("rprd"),
-                 F.array(*[mon_struct(17 + N, s, 2) for s in range(6)])
-                  .alias("mons")))
-    exploded = (df
-                .select("rec_id",
-                        _u_le(c, 0, 8).alias("ts_ms"),
-                        _u_le(c, 8, 2).cast("int").alias("turns"),
-                        _u_le(c, 10, 1).cast("int").alias("end_type"),
-                        F.explode(sides).alias("p"))
-                .select("rec_id", "ts_ms", "turns", "end_type",
-                        F.col("p.side").alias("winner_side"),
-                        "p.rpr", "p.rprd",
-                        F.explode(F.filter(
-                            F.col("p.mons"),
-                            lambda m: m.getField("sp_idx") != 0))
-                         .alias("m"))
-                .select("rec_id", "ts_ms", "turns", "end_type",
-                        "winner_side", "rpr", "rprd", "m.*"))
-    # stage 2: index → id resolution AFTER the explode — each reverse
-    # CASE appears exactly once in the tree
-    sp_rev = _rev_lookup(lk["species"])
-    mv_rev = _rev_lookup(lk["moves"])
-    out = (exploded
-           .withColumn("species", sp_rev(F.col("sp_idx")))
-           .withColumn("moves", F.filter(
-               F.transform("mv_idx", lambda i: mv_rev(i)),
-               lambda m: m.isNotNull()))
-           .drop("mv_idx"))
+            ts = mat[:, 0:8].copy().view("<u8").ravel().astype(np.int64)
+            turns = mat[:, 8:10].copy().view("<u2").ravel() \
+                                .astype(np.int32)
+            endt = mat[:, 10].astype(np.int32)
+            r1 = mat[:, 11:13].copy().view("<u2").ravel() \
+                              .astype(np.float64)
+            d1 = mat[:, 13].astype(np.float64)
+            r2 = mat[:, 14:16].copy().view("<u2").ravel() \
+                              .astype(np.float64)
+            d2 = mat[:, 16].astype(np.float64)
+
+            sp = np.empty((n, 12), np.uint8)
+            mv = np.empty((n, 12, 4), np.uint8)
+            if gen >= 2:
+                itm = np.empty((n, 12), np.uint8)
+                hp = np.empty((n, 12), np.uint8)
+            for s in range(12):
+                base = 17 + (s // 6) * N + (s % 6) * S
+                mv0 = base + (1 if gen == 1 else 2)
+                sp[:, s] = mat[:, base]
+                mv[:, s, :] = mat[:, mv0:mv0 + 4]
+                if gen >= 2:
+                    itm[:, s] = mat[:, base + 1]
+                    hp[:, s] = mat[:, base + 6]
+
+            mask = sp.ravel() != 0  # non-empty slots only
+            rows = np.repeat(np.arange(n), 12)[mask]
+            slot_ids = np.tile(np.arange(12), n)[mask]
+            side = (slot_ids // 6 + 1).astype(np.int32)
+            slot = (slot_ids % 6 + 1).astype(np.int32)
+            lead = slot_ids % 6 == 0
+            sp_sel = sp.ravel()[mask]
+            p1 = side == 1
+            rpr = np.where(p1, r1[rows], r2[rows])
+            rprd = np.where(p1, d1[rows], d2[rows])
+            unrated = rpr == 0
+
+            names = mv_t[mv.reshape(n * 12, 4)[mask]]  # (M, 4) object
+            if gen >= 2:
+                hp_sel = hp.ravel()[mask]
+                is_hp = names == "hiddenpower"
+                if is_hp.any():
+                    w = np.where(is_hp)
+                    t = ty_t[hp_sel[w[0]]]
+                    names[w] = ["hiddenpower" + (x or "") for x in t]
+            valid = np.not_equal(names, None)
+            counts = valid.sum(axis=1)
+            off_out = np.zeros(len(counts) + 1, np.int32)
+            np.cumsum(counts, out=off_out[1:])
+            moves = pa.ListArray.from_arrays(
+                pa.array(off_out, type=pa.int32()),
+                pa.array(names[valid], type=pa.string()))
+
+            arrs = [
+                pa.array(rec_id[rows], type=pa.int64()),
+                pa.array(ts[rows], type=pa.int64()),
+                pa.array(turns[rows], type=pa.int32()),
+                pa.array(endt[rows], type=pa.int32()),
+                pa.array(side, type=pa.int32()),
+                pa.array(rpr, type=pa.float64(), mask=unrated),
+                pa.array(rprd, type=pa.float64(), mask=unrated),
+                pa.array(side, type=pa.int32()),
+                pa.array(slot, type=pa.int32()),
+                pa.array(lead, type=pa.bool_()),
+                pa.array(sp_sel.astype(np.int32), type=pa.int32()),
+                pa.array(sp_t[sp_sel], type=pa.string()),
+                moves,
+            ]
+            cols = ["rec_id", "ts_ms", "turns", "end_type",
+                    "winner_side", "rpr", "rprd", "side", "slot",
+                    "lead", "sp_idx", "species", "moves"]
+            if gen >= 2:
+                arrs.append(pa.array(it_t[itm.ravel()[mask]],
+                                     type=pa.string()))
+                cols.append("item")
+            yield pa.RecordBatch.from_arrays(arrs, cols)
+
+    schema = ("rec_id long, ts_ms long, turns int, end_type int, "
+              "winner_side int, rpr double, rprd double, side int, "
+              "slot int, lead boolean, sp_idx int, species string, "
+              "moves array<string>")
     if gen >= 2:
-        # Log.decode re-attaches the trailing type byte to a decoded
-        # hiddenpower move (binary.ts:128-130; python twin decode_row)
-        ty_rev = _rev_lookup(TYPE_NUM)
-        out = (out
-               .withColumn("item", _rev_lookup(lk["items"])(
-                   F.col("it_idx")))
-               .withColumn("moves", F.transform(
-                   "moves",
-                   lambda m: F.when(
-                       m == "hiddenpower",
-                       F.concat(m, F.coalesce(ty_rev(F.col("hp_idx")),
-                                              F.lit(""))))
-                            .otherwise(m)))
-               .drop("it_idx", "hp_idx"))
-    return out
+        schema += ", item string"
+    return df.select("row", "rec_id").mapInArrow(fn, schema)
 
 
 def stats_from_db(spark, db_dir: str, gen: int = 1, cutoff: int = 1500):
@@ -475,12 +798,17 @@ def stats_from_db(spark, db_dir: str, gen: int = 1, cutoff: int = 1500):
     `species_species[s][t] = (species_species[t][s] += w)`), and the
     global totals.  Players without a rating or with zero weight are
     skipped (binary.ts:283-287)."""
-    from stats_spark.functions.weights import weighting_expr
+    from stats_spark.functions.weights import (weighting_arg_expr,
+                                               weighting_expr_from_arg)
 
     mons = (decode_db(scan_db(spark, db_dir, gen), gen)
             .filter(F.col("rpr").isNotNull())
             .withColumn("cutoff", F.lit(float(cutoff)))
-            .withColumn("w", weighting_expr("rpr", "rprd", "cutoff"))
+            # erf argument staged once (see weights.weighting_arg_expr)
+            .withColumn("_wx", weighting_arg_expr("rpr", "rprd", "cutoff"))
+            .withColumn("w", weighting_expr_from_arg("_wx", "rprd",
+                                                     "cutoff"))
+            .drop("_wx")
             .filter(F.col("w") != 0))
     usage = (mons.groupBy("species")
              .agg(F.sum("w").alias("usage_weighted"),
@@ -549,18 +877,27 @@ def db_rating_cutoff(spark, db_dir: str, gen: int = 1,
     e.g. 1000 < 1500 < 999.  ``js_sort=True`` reproduces that order
     (the rpr field is an integer u16, so the JS string is the plain
     decimal rendering); ``js_sort=False`` gives the numeric order the
-    comparator presumably intended.  Rank selection is a distributed
-    sort + offset of exactly two rows — no full collect — so the scan
-    scales with the `.db`, not the driver."""
+    comparator presumably intended.
+
+    r06 rank selection: ONE distributed count per distinct value —
+    rpr is a u16, so the value domain is bounded at 65,535 groups
+    regardless of `.db` size — then the interpolated percentile reads
+    off the cumulative counts driver-side.  The r05 form
+    (``orderBy(key).offset(n·p).limit(2)``) planned a global sort
+    whose offset+limit degenerates to a single-partition walk of half
+    the sorted ratings at scale (VERDICT r05 "What's wrong #3)."""
     c = F.col("row")
     ratings = (scan_db(spark, db_dir, gen)
                .select(F.explode(F.array(_u_le(c, 11, 2),
                                          _u_le(c, 14, 2))).alias("u"))
                .filter(F.col("u") != 0))
-    n = ratings.count()
+    key = (lambda t: str(t[0])) if js_sort else (lambda t: t[0])
+    counts = sorted(((int(r.u), r.n) for r in
+                     ratings.groupBy("u").agg(F.count("*").alias("n"))
+                     .collect()), key=key)
+    n = sum(cnt for _, cnt in counts)
     if n == 0:
         return 0.0
-    key = F.col("u").cast("string") if js_sort else F.col("u")
     if percentile <= 0:
         lower, weight = 0, 0.0
     elif percentile >= 1:
@@ -569,10 +906,17 @@ def db_rating_cutoff(spark, db_dir: str, gen: int = 1,
         index = (n - 1) * percentile
         lower = int(index)
         weight = index - lower
-    picked = [float(r.u) for r in
-              ratings.orderBy(key).offset(lower).limit(2).collect()]
-    lo = picked[0]
-    hi = picked[1] if weight and len(picked) > 1 else lo
+
+    def value_at(pos: int) -> float:
+        acc = 0
+        for v, cnt in counts:
+            acc += cnt
+            if pos < acc:
+                return float(v)
+        return float(counts[-1][0])
+
+    lo = value_at(lower)
+    hi = value_at(lower + 1) if weight else lo
     return lo * (1 - weight) + hi * weight
 
 

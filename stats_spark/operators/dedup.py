@@ -116,18 +116,77 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     60-bit hashes (hex chars 0-14 and 16-30), so k hashes cost k/2 md5
     calls per shingle row — md5 is the whole cost of this operator at
     scale.  h_{2i}   = min over shingles of md5(sh || '#i')[0:15]
-            h_{2i+1} = min over shingles of md5(sh || '#i')[16:31]."""
-    sh = doc_shingles(docs, text_col, id_col, w)
-    digests = [F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))
-               for i in range((k + 1) // 2)]
-    proj = sh.select("id", *[
-        F.conv(F.substring(d, 1 + 16 * (j % 2), 15), 16, 10)
-         .cast("long").alias(f"h{2 * (i) + (j % 2)}")
-        for i, d in enumerate(digests) for j in range(2)
-        if 2 * i + (j % 2) < k
-    ])
-    return proj.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)])
+            h_{2i+1} = min over shingles of md5(sh || '#i')[16:31].
+
+    r06 physical shape: shingles are built JVM-side (so tokenize/
+    shingle string semantics stay byte-identical to the SQL twin), and
+    the hashing runs VECTOR-AT-A-TIME in ``mapInArrow`` with hashlib
+    (guide §4.2).  Two reasons this beats the r05 all-JVM projection,
+    measured at sf1.0 (26.8s → see BENCH.md):
+      * Spark evaluated the md5 SIXTEEN times per shingle row — codegen
+        subexpression elimination did not unify the two substring
+        consumers of each digest (profiled: 8 explicit md5 columns cost
+        11.8s, the 16-hash projection 26.1s);
+      * hashlib can hash the shared shingle PREFIX once and fork the
+        8 suffix digests with ``.copy()`` — a ~8× hash-work reduction
+        no JVM expression can express.
+    Identical values: md5 over the same UTF-8 bytes, same '#i'
+    suffixes, same 60-bit hex slices (big-endian bytes >> 4), same min.
+    A null-shingle doc (null text) drops out exactly as the exploded
+    form dropped it.  ``id`` is declared long (every corpus id here
+    is); the signature schema is otherwise caller-invisible."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       T.word_tokens(text_col).alias("toks"))
+    shs = toks.select("id", T.shingles_from("toks", w).alias("shs"))
+    # hashing is CPU-bound Python: re-spread a small scan (the 8 MB
+    # local splits leave ~8 tasks at bench scale) up to the cluster's
+    # parallelism.  At 100 TB the scan already exceeds parallelism ×
+    # maxPartitionBytes and this is a no-op.
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if shs.rdd.getNumPartitions() < par:
+        shs = shs.repartition(par)
+    n_dig = (k + 1) // 2
+    suffixes = [f"#{i}".encode() for i in range(n_dig)]
+
+    def fn(batches):
+        from hashlib import md5
+        import pyarrow as pa
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            shingle_lists = b.column(1).to_pylist()
+            out_ids = []
+            mins: list[list[int]] = [[] for _ in range(k)]
+            for rid, shingles in zip(ids, shingle_lists):
+                if not shingles:
+                    continue
+                best = [None] * k
+                for s in shingles:
+                    m0 = md5(s.encode("utf-8"))
+                    for i, suf in enumerate(suffixes):
+                        m = m0.copy()
+                        m.update(suf)
+                        d = m.digest()
+                        j = 2 * i
+                        h = int.from_bytes(d[:8], "big") >> 4
+                        if best[j] is None or h < best[j]:
+                            best[j] = h
+                        j += 1
+                        if j < k:
+                            h = int.from_bytes(d[8:16], "big") >> 4
+                            if best[j] is None or h < best[j]:
+                                best[j] = h
+                out_ids.append(rid)
+                for j in range(k):
+                    mins[j].append(best[j])
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_ids, type=pa.int64())]
+                    + [pa.array(mins[j], type=pa.int64())
+                       for j in range(k)],
+                    ["id"] + [f"h{j}" for j in range(k)])
+
+    schema = "id long, " + ", ".join(f"h{j} long" for j in range(k))
+    return shs.mapInArrow(fn, schema)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -148,11 +207,24 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     buckets = (sig.select("id", F.explode(bands).alias("b"))
                .select("id", F.col("b.band").alias("band"),
                        F.col("b.key").alias("key")))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # r06 pair generation: group each (band, key) bucket, sort its ids,
+    # expand pairs with the same positional HOF idiom as A6 teammates.
+    # The r05 bucket SELF-JOIN planned the whole shingle→md5→signature
+    # subtree on BOTH join sides (no exchange to reuse — one side rode
+    # a BroadcastExchange), so every md5 was computed twice; the
+    # groupBy computes the signature once and shuffles only the tiny
+    # (id, band, key) bucket rows.  Identical output: a sorted bucket
+    # [i1 < … < im] expands to exactly the (a.id < b.id) join pairs,
+    # and the per-pair count of shared bands is unchanged.
+    pair_structs = F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        " transform(slice(ids, 1, i), y -> struct(y as id_a, x as id_b)))"))
+    return (buckets.groupBy("band", "key")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
             .agg(F.count("*").alias("n_bands")))
 
 

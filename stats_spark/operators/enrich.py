@@ -292,15 +292,26 @@ def with_cutoff_weights(df: DataFrame,
     the (tiny) grouped output back to a ``cutoff`` dimension
     (aggregate._stacked).  Measured: the explode form made the sink
     phase memory-bound at high core counts (BENCH.md)."""
+    from stats_spark.functions.weights import (weighting_arg_expr,
+                                               weighting_expr_from_arg)
     sets = ([dims.DEFAULT_CUTOFFS] + list(cutoffs.values())
             if isinstance(cutoffs, dict) else [list(cutoffs)])
     assert all(len(s) == N_CUTOFFS for s in sets), sets
     df = df.withColumn("_cuts", cutoff_array_col(cutoffs))
+    # stage the erf arguments as columns: inlined, each of the four
+    # weights re-emits its (rpr-cutoff)/rprd/sqrt(2) subtree at ~30
+    # erf sites and the projection exceeds janino's 64 KB doConsume
+    # limit — the whole wide-weight stage then ran INTERPRETED (r06;
+    # the same defect class as VERDICT r05's binary-decode finding)
     for i in range(N_CUTOFFS):
         df = df.withColumn(f"cutoff_{i}", F.col("_cuts").getItem(i))
-        df = df.withColumn(
-            f"w_{i}", weighting_expr("eff_rpr", "eff_rprd", f"cutoff_{i}"))
-    return df.drop("_cuts")
+    for i in range(N_CUTOFFS):
+        df = df.withColumn(f"_wx_{i}", weighting_arg_expr(
+            "eff_rpr", "eff_rprd", f"cutoff_{i}"))
+    for i in range(N_CUTOFFS):
+        df = df.withColumn(f"w_{i}", weighting_expr_from_arg(
+            f"_wx_{i}", "eff_rprd", f"cutoff_{i}"))
+    return df.drop("_cuts", *[f"_wx_{i}" for i in range(N_CUTOFFS)])
 
 
 def with_weight(df: DataFrame) -> DataFrame:

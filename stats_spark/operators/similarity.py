@@ -34,17 +34,74 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding",
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self-matches
-    excluded).  ``queries`` is expected to be small → broadcast."""
+    excluded).  ``queries`` must be small (it was the broadcast side of
+    the r05 broadcast-NLJ; it is collected to the driver here — the
+    same size constraint, stated instead of implied).
+
+    r06 physical shape: the scoring pass is a VECTORIZED numpy sweep
+    inside ``mapInArrow`` over the corpus (guide §4.2) — each task
+    scores its Arrow batches against the in-memory query block at C
+    speed instead of evaluating an interpreted zip_with/aggregate HOF
+    fold per (corpus, query) pair (measured 2.4×; an unrolled-codegen
+    variant was tried and measured SLOWER than the HOF, see BENCH.md).
+    Bit-identical cosines: the dim loop accumulates in the same
+    sequential order as the HOF fold (acc = (…(0.0+t0)+t1)+…), float→
+    double casts are exact, sqrt is correctly rounded in both, and the
+    final 6dp round stays in Spark.  Per-query top-k is the same
+    window; only the scoring operator changed."""
     from pyspark.sql import Window
 
-    corpus = with_norm(emb, vec_col, id_col)
-    q = with_norm(queries, vec_col, id_col).select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
-        F.col("norm").alias("q_norm"))
-    scored = (corpus.join(F.broadcast(q), F.col("id") != F.col("q_id"))
-              .withColumn("cosine",
-                          F.round(dot(F.col("vec"), F.col("q_vec"))
-                                  / (F.col("norm") * F.col("q_norm")), 6)))
+    q_rows = (queries.select(F.col(id_col).alias("q_id"),
+                             F.col(vec_col).alias("q_vec")).collect())
+    out_schema = "q_id long, id long, cosine_raw double"
+    if not q_rows:
+        empty = emb.sparkSession.createDataFrame([], out_schema)
+        return empty.select("q_id", F.col("id").alias("neighbor_id"),
+                            F.lit(0.0).alias("cosine"),
+                            F.lit(0).alias("rank")).limit(0)
+    import numpy as np
+    qids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r.q_vec] for r in q_rows],
+                 dtype=np.float64)
+    dim = Q.shape[1]
+    qn = np.zeros(len(q_rows))
+    for i in range(dim):          # sequential fold == HOF dot order
+        qn = qn + Q[:, i] * Q[:, i]
+    q_norm = np.sqrt(qn)
+
+    def fn(batches):
+        import pyarrow as pa
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+            vl = b.column(1)
+            offs = vl.offsets.to_numpy(zero_copy_only=False)
+            flat = vl.values.to_numpy(zero_copy_only=False)
+            assert (np.diff(offs) == dim).all(), \
+                "cosine_topk: ragged embedding widths"
+            V = flat[offs[0]:offs[0] + n * dim] \
+                .reshape(n, dim).astype(np.float64)
+            nrm = np.zeros(n)
+            S = np.zeros((n, len(qids)))
+            for i in range(dim):  # same sequential fold per pair
+                nrm = nrm + V[:, i] * V[:, i]
+                S = S + V[:, i:i + 1] * Q[:, i][None, :]
+            cos = S / (np.sqrt(nrm)[:, None] * q_norm[None, :])
+            keep = ids[:, None] != qids[None, :]
+            rows_q = np.broadcast_to(qids, cos.shape)[keep]
+            rows_id = np.broadcast_to(ids[:, None], cos.shape)[keep]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows_q, type=pa.int64()),
+                 pa.array(rows_id, type=pa.int64()),
+                 pa.array(cos[keep], type=pa.float64())],
+                ["q_id", "id", "cosine_raw"])
+
+    scored = (emb.select(F.col(id_col).alias("id"), F.col(vec_col))
+              .mapInArrow(fn, out_schema)
+              .withColumn("cosine", F.round("cosine_raw", 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -28,7 +28,7 @@ from stats_spark.datagen import dims
 from stats_spark.operators import aggregate as agg
 from stats_spark.operators import enrich
 from stats_spark.operators.parse import parse_battles
-from stats_spark.functions.weights import weighting_expr
+from stats_spark.functions.weights import weighting_expr  # noqa: F401 (parity/streaming callers import via this module)
 from stats_spark.sources import tables
 
 
@@ -115,14 +115,21 @@ def battles_weighted(battles: DataFrame,
                 .withColumnRenamed("eff_rprd", f"{s}_eff_rprd")
                 .drop("rpr", "rprd", "outcome", "rating_valid", "gxe"))
     df = enrich.explode_cutoffs(df, cutoffs)
+    from stats_spark.functions.weights import (weighting_arg_expr,
+                                               weighting_expr_from_arg)
     for s in ("p1", "p2"):
-        # JVM-side erf weighting (same sqlgen expr as the mons path) —
-        # keeps the battles×cutoffs frame inside whole-stage codegen,
-        # no Arrow round-trip (the last pandas-UDF weight site is gone).
+        # JVM-side erf weighting (same sqlgen expr as the mons path),
+        # argument staged as a column so codegen computes it once
+        # instead of at each of erf's ~30 sites (see
+        # enrich.with_cutoff_weights)
         df = df.withColumn(
-            f"w_{s}", weighting_expr(f"{s}_eff_rpr", f"{s}_eff_rprd",
-                                     "cutoff"))
-    return df
+            f"_wx_{s}", weighting_arg_expr(f"{s}_eff_rpr",
+                                           f"{s}_eff_rprd", "cutoff"))
+    for s in ("p1", "p2"):
+        df = df.withColumn(
+            f"w_{s}", weighting_expr_from_arg(f"_wx_{s}",
+                                              f"{s}_eff_rprd", "cutoff"))
+    return df.drop("_wx_p1", "_wx_p2")
 
 
 def build_frames(spark: SparkSession, battles: DataFrame,
