@@ -32,6 +32,54 @@ def plan_of(df) -> str:
         .fromString("formatted"))
 
 
+def runtime_codegen_gate() -> int:
+    """Execute the codegen-heavy paths (weighted pipeline frames, the
+    binary encode→write→stats round-trip, the scored similarity/dedup
+    queries) in a fresh subprocess and count CodeGenerator compile
+    failures in its stderr.  Returns 0 when every executed stage
+    actually compiled."""
+    import subprocess
+    code = r"""
+import sys, tempfile, os; sys.path.insert(0, "/root/repo")
+from stats_spark.session import get_spark
+from stats_spark.datagen import corpus
+from stats_spark.plans import pipeline
+from stats_spark.operators.parse import parse_battles
+from stats_spark.operators import binary_db as B
+from stats_spark.sources import tables
+spark = get_spark("codegen-gate", cores=8, shuffle_partitions=16)
+spark.sparkContext.setLogLevel("ERROR")
+c = corpus.ensure_corpus("t2")
+b = parse_battles(tables.load_transcripts(spark, c),
+                  tables.load_conversations(spark, c))
+frames = pipeline.build_frames(spark, b)
+for f in ("usage_tagged", "moveset", "teammates", "encounters",
+          "metagame", "unique_players"):
+    frames[f].write.format("noop").mode("overwrite").save()
+_bp = os.path.join(tempfile.gettempdir(), "codegen_gate_battles")
+b.filter("error IS NULL").write.mode("overwrite").parquet(_bp)
+bt = spark.read.parquet(_bp)
+_db = os.path.join(tempfile.gettempdir(), "codegen_gate_db")
+B.write_db(B.encode_logs(bt, gen=1), _db, gen=1, n_files=2)
+B.stats_from_db(spark, _db, gen=1)["usage"].count()
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "entry", "/root/repo/__spark_entry__.py")
+e = importlib.util.module_from_spec(spec); spec.loader.exec_module(e)
+qs = e.queries()
+for q in ("doc_minhash_lsh", "doc_simhash", "emb_cosine_topk",
+          "emb_dup_pairs", "emb_ann_banded", "emb_ann_ivf"):
+    qs[q](spark, "/root/testdata/sf0.01") \
+        .write.format("noop").mode("overwrite").save()
+"""
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=3600)
+    if r.returncode != 0:
+        print(r.stderr[-1500:], file=sys.stderr)
+        return 999
+    return r.stderr.count("Failed to compile the generated Java code")
+
+
 def main():
     # AQE only annotates codegen on executed plans; disable it here so
     # the static formatted plans show codegen ids (AQE does not change
@@ -127,9 +175,11 @@ def main():
     check("viability (window rank)", frames["viability"],
           wants=("Window",))
 
-    # binary DB: encode is a pure column projection (no Python, no
-    # joins); the read side decodes the splittable fixed-width scan
-    # with column expressions into partial+final hash aggregation
+    # binary DB: encode keeps its numeric semantics in JVM columns and
+    # packs bytes in ONE vectorized MapInArrow (no joins); the read
+    # side is a split-planned MapInArrow scan + vectorized decode into
+    # partial+final hash aggregation (r06 — the r05 expression decode
+    # failed janino compilation and ran interpreted)
     from stats_spark.operators import binary_db as B
     import os as _os, tempfile as _tf
     # encode from the battles CHECKPOINT (the production shape — the
@@ -137,15 +187,16 @@ def main():
     _bpath = _os.path.join(_tf.gettempdir(), "plan_audit_battles")
     battles.filter("error IS NULL").write.mode("overwrite").parquet(_bpath)
     _bt = spark.read.parquet(_bpath)
-    check("binary_db encode (pure projection)",
+    check("binary_db encode (JVM semantics + one MapInArrow pack)",
           B.encode_logs(_bt, gen=1),
+          wants=("MapInArrow",),
           forbids=("CartesianProduct", "BroadcastNestedLoopJoin",
                    "ArrowEvalPython", "BatchEvalPython", "Join"))
     _dbdir = _os.path.join(_tf.gettempdir(), "plan_audit_db")
     B.write_db(B.encode_logs(_bt, gen=1), _dbdir, gen=1, n_files=2)
-    check("binary_db stats (fixed-width scan → agg)",
+    check("binary_db stats (split scan → vectorized decode → agg)",
           B.stats_from_db(spark, _dbdir, gen=1)["usage"],
-          wants=("HashAggregate",),
+          wants=("HashAggregate", "MapInArrow"),
           forbids=("CartesianProduct", "BroadcastNestedLoopJoin",
                    "ArrowEvalPython", "BatchEvalPython"))
     # tools/teams: one shuffle keyed on the team string, then a
@@ -172,15 +223,26 @@ def main():
           similarity.ann_topk_ivf(emb, q_ann),
           wants=("BroadcastHashJoin", "Window"))
 
-    # cosine_topk intentionally broadcasts the tiny query side and
-    # scores with a broadcast nested loop — the documented exception
+    # cosine_topk (r06): the scoring pass is one vectorized MapInArrow
+    # sweep over the corpus against the collected query block — the
+    # r05 broadcast-NLJ is gone, so NO plan anywhere may carry a
+    # nested-loop or cartesian join
     q = emb.filter(F.col("vec_id") < 20)
-    p = plan_of(similarity.cosine_topk(emb, q))
-    bnlj = "BroadcastNestedLoopJoin" in p
-    results.append(("cosine_topk (intentional broadcast-NLJ)", bnlj,
-                    0, 0, 0, "broadcast scoring pass present" if bnlj
-                    else "expected BNLJ missing"))
-    print("cosine_topk", "OK" if bnlj else "FAIL")
+    check("cosine_topk (vectorized MapInArrow scoring)",
+          similarity.cosine_topk(emb, q),
+          wants=("MapInArrow", "Window"))
+
+    # runtime codegen gate: planned WholeStageCodegen nodes say nothing
+    # about whether janino actually COMPILED them — r05's binary decode
+    # planned 3 codegen stages and silently ran interpreted (VERDICT
+    # r05 #2).  Execute the hot paths in a subprocess and fail on any
+    # CodeGenerator compile error in its stderr.
+    n_cg = runtime_codegen_gate()
+    results.append(("runtime codegen (0 janino fallbacks in executed "
+                    "hot paths)", n_cg == 0, 0, 0, 0,
+                    "no 'Failed to compile' in executed-run stderr"
+                    if n_cg == 0 else f"{n_cg} compile failures"))
+    print("runtime-codegen", "OK" if n_cg == 0 else f"FAIL ({n_cg})")
 
     bad = [r for r in results if not r[1]]
     lines = [
@@ -198,13 +260,21 @@ def main():
                      f"| {wsc} | {notes} |")
     lines += [
         "",
-        "Inventory of intentional non-equi plans: exactly ONE —",
-        "`cosine_topk` broadcasts the small query set and scores the",
-        "corpus in a broadcast nested loop (the right shape for",
-        "brute-force ANN baselines; the scale path is `ann_topk` /",
-        "`embedding_dup_pairs`, both bucket-equi-joined). Everything",
-        "else is broadcast-hash or shuffled equi-joins with",
-        "partial+final hash aggregation.",
+        "Inventory of intentional non-equi plans: NONE (r06 —",
+        "`cosine_topk`'s r05 broadcast-NLJ scoring pass is now a",
+        "vectorized MapInArrow sweep against the collected query",
+        "block; the scale paths `ann_topk` / `embedding_dup_pairs`",
+        "stay bucket-equi-joined).  Python-boundary inventory, all",
+        "vectorized MapInArrow/mapInPandas batch operators (guide",
+        "§4.2): parse FSM, minhash hashing, cosine scoring, binary",
+        "`.db` scan/decode/encode pack, anonymizer.  Everything else",
+        "is broadcast-hash or shuffled equi-joins with partial+final",
+        "hash aggregation.",
+        "",
+        "The `runtime codegen` row executes the hot paths and greps",
+        "the session stderr for `Failed to compile` — planned",
+        "WholeStageCodegen nodes alone are blind to janino fallback",
+        "(the r05 audit's false green on the binary decode).",
     ]
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
