@@ -50,17 +50,23 @@ clocks) does not pay — but the headline number is RAW.
 While probe-waiting, if the host instead holds a STABLE clock that is
 below round-best (two consecutive probes agree at both levels within
 TOL and the within-window ceiling is ≥0.97), the dead time is spent on
-a UNIFORM-WINDOW PAIRED MEASUREMENT: T_high, T_low, then T_high again
-(A-B-A), bracketed by four sentinels.  Two validity instruments per
-pair, graded independently: sentinel-valid (clock held through the
-T_high→T_low window AND within-pair ceiling ≥0.97) and
-job-bracket-valid (the two T_high legs agree within TOL at the job's
-own clock — the stronger instrument, since the python sentinel and the
-JVM job demonstrably decouple on this host; a spike during T_low can
-only deflate the number).  Nothing is normalized — a constant clock
-cancels in the ratio — and each pair's absolute clock vs round-best is
-disclosed.  Pairs are reported in their own BENCH.md section; the
-round-best-gated table stays the headline.
+a UNIFORM-WINDOW PAIRED MEASUREMENT: T_high, T_low, T_high, T_low,
+T_high (a TWO-SIDED job bracket), each leg bracketed by sentinels.
+Two validity instruments per pair, graded independently:
+sentinel-valid (clock held through the first T_high→T_low window AND
+within-pair ceiling ≥0.97) and job-bracket-valid (the T_high legs
+agree within TOL at the job's own clock AND the T_low legs agree
+within TOL — BOTH sides of the ratio certified; the python sentinel
+and the JVM job demonstrably decouple on this host, which is why the
+job is its own clock).  The bracket must cover both sides: efficiency
+is (T_low/T_high)/4, so an interference spike during a T_low leg
+INFLATES the number exactly as a spike during a T_high leg deflates
+it — the r05 bracket flanked only the T_high legs and could not
+detect the inflating direction (VERDICT r05 #1).  Nothing is
+normalized — a constant clock cancels in the ratio — and each pair's
+absolute clock vs round-best is disclosed.  Pairs are reported in
+their own BENCH.md section; the round-best-gated table stays the
+headline.
 
 Usage: python scripts/scaling.py [n_convs] [low_cores] [high_cores]
 Env:   SCALING_N_CLEAN (3)  SCALING_TOL (0.05)
@@ -225,11 +231,36 @@ class Protocol:
         self.history = load_json(HISTORY_PATH, {})
 
     def observe(self, sample: dict) -> None:
-        """Fold a sentinel sample into the round-best history."""
+        """Fold a sentinel sample into the round-best history.
+
+        A new best must be CORROBORATED: a candidate reading faster
+        than the current best becomes pending and only starts gating
+        once a second, independent sample agrees with it within tol
+        (ADVICE r05: one anomalously lucky sample would otherwise
+        permanently raise the gate and retroactively discard every
+        future leg for the lifetime of the history file).  The first
+        reading at a level seeds the best directly — the gate needs a
+        baseline."""
+        pend = self.history.setdefault("_pending", {})
         for k, lv in (("low", self.low), ("high", self.high)):
             key = str(lv)
-            if key not in self.history or sample[k] < self.history[key]:
-                self.history[key] = sample[k]
+            cur = self.history.get(key)
+            s = sample[k]
+            if cur is None:
+                self.history[key] = s
+            elif s < cur:
+                if cur <= s * (1 + self.tol):
+                    # a within-tol refinement barely moves the gate —
+                    # the current best itself corroborates it
+                    self.history[key] = s
+                    continue
+                cand = pend.get(key)
+                if (cand is not None
+                        and max(s, cand) / min(s, cand) <= 1 + self.tol):
+                    self.history[key] = min(s, cand)
+                    pend.pop(key, None)
+                else:
+                    pend[key] = s
         save_json(HISTORY_PATH, self.history)
 
     def best(self) -> dict:
@@ -245,14 +276,21 @@ class Protocol:
         A leg is CLEAN iff both bracketing readings at the leg's own
         concurrency are within tol of the round-best at that
         concurrency (the other level's reading is published but does
-        not gate — different turbo/contention regime)."""
+        not gate — different turbo/contention regime).  A clean leg
+        whose OTHER-level readings sit far off round-best (>2×tol) is
+        additionally FLAGGED, not discarded, so readers can see the
+        weaker cross-level bracket (ADVICE r05)."""
         best = self.best()
         counts = {self.low: 0, self.high: 0}
         for leg in self.legs:
             k = "low" if leg["level"] == self.low else "high"
+            o = "high" if k == "low" else "low"
             ok = all(leg[b][k] <= best[k] * (1 + self.tol)
                      for b in ("pre", "post"))
             leg["clean"] = ok
+            leg["xlevel_off"] = any(
+                leg[b][o] > best[o] * (1 + 2 * self.tol)
+                for b in ("pre", "post"))
             if ok:
                 counts[leg["level"]] += 1
         return counts, best
@@ -268,72 +306,131 @@ class Protocol:
 
     def valid_pairs(self) -> list[dict]:
         """Pairs valid under EITHER instrument: the sentinel rule or
-        the A-B-A job bracket (older records may lack the bracket)."""
+        the two-sided job bracket.  r05 records whose bracket flanked
+        only the T_high legs are re-graded job-INVALID here — that
+        instrument's safety argument was inverted (a T_low spike
+        inflates (T_low/T_high)/k undetected; VERDICT r05 #1) — but
+        they can still be sentinel-valid."""
         return [q for q in self.pairs
-                if q["valid"] or q.get("job_valid")]
+                if q["valid"] or _job_valid(q)]
 
 
 def run_pair(p: Protocol, pre: dict) -> dict | None:
-    """Uniform-window paired measurement: T_high then T_low back to
-    back, bracketed by three sentinel samples (`pre` is the probe that
-    qualified the window).  Both legs also merge into the absolute
-    round-best-gated store with their real brackets (they grade clean
-    there only if the window happened to be at round-best speed).
-    Aborts after the first leg if the window already drifted."""
+    """Uniform-window paired measurement with a TWO-SIDED job bracket:
+    T_high, T_low, T_high, T_low, T_high back to back, each flanked by
+    sentinel samples (`pre` is the probe that qualified the window).
+    All legs also merge into the absolute round-best-gated store with
+    their real brackets (they grade clean there only if the window
+    happened to be at round-best speed).
+
+    Why both sides: efficiency is (T_low/T_high)/k, so interference
+    that lengthens a T_low leg INFLATES the measured number exactly as
+    a lengthened T_high leg deflates it.  The r05 bracket repeated only
+    the T_high leg (T_high–T_low–T_high) and claimed the bracket
+    "cannot inflate the number" — backwards, and the long T_low leg
+    was precisely the least-instrumented window (VERDICT r05 #1).
+    Here BOTH T_low legs must agree within tol AND all T_high legs
+    must agree within tol for the job instrument to certify; its
+    quantity is (mean T_low / mean T_high)/k over the certified legs.
+
+    Aborts early (recording whatever is certified so far) when the
+    window drifts or a side's spread already exceeds tol — a dead
+    instrument is not worth 30 more minutes of machine time."""
     low, high, tol, n = p.low, p.high, p.tol, p.n_convs
-    r_high = run_level(high, n)
-    mid = sentinel(low, high)
-    p.observe(mid)
-    p.add_leg(dict(level=high, run=r_high, pre=pre, post=mid,
-                   probe_wait_s=0, pair=len(p.pairs) + 1))
-    drifted = (max(pre["high"], mid["high"])
-               / min(pre["high"], mid["high"]) > 1 + tol)
-    if drifted:
-        print(json.dumps(dict(pair_aborted=True, pre=pre, mid=mid)),
-              flush=True)
+    # attempt id allocated ONCE, counting aborted attempts, so an
+    # aborted attempt's legs can never share an id with the next
+    # recorded pair (ADVICE r05: legs 13-15 of the 1.2M store)
+    attempt = max([g.get("pair") or 0 for g in p.legs]
+                  + [len(p.pairs)]) + 1
+
+    def leg(level, run, s_pre, s_post):
+        p.add_leg(dict(level=level, run=run, pre=s_pre, post=s_post,
+                       probe_wait_s=0, pair=attempt))
+
+    def spread(vals):
+        return round(max(vals) / min(vals), 4)
+
+    r_h1 = run_level(high, n)
+    s1 = sentinel(low, high)
+    p.observe(s1)
+    leg(high, r_h1, pre, s1)
+    if max(pre["high"], s1["high"]) / min(pre["high"], s1["high"]) \
+            > 1 + tol:
+        print(json.dumps(dict(pair_attempt=attempt, pair_aborted=True,
+                              pre=pre, mid=s1)), flush=True)
         return None
-    r_low = run_level(low, n)
-    post = sentinel(low, high)
-    p.observe(post)
-    p.add_leg(dict(level=low, run=r_low, pre=mid, post=post,
-                   probe_wait_s=0, pair=len(p.pairs) + 1))
-    # A-B-A job bracket: repeat the high leg AFTER the low leg.  The
-    # job is its own best clock (the pure-CPU sentinel and the JVM
-    # pipeline demonstrably decouple on this host): if the two high
-    # legs agree within tol, the machine state provably held through
-    # the low leg at the job's own clock.  A transient spike during
-    # the low leg can only DEFLATE the measured efficiency, and a
-    # spike during either high leg shows up as A-B spread — the
-    # bracket cannot inflate the number.
-    r_high2 = run_level(high, n)
-    end = sentinel(low, high)
-    p.observe(end)
-    p.add_leg(dict(level=high, run=r_high2, pre=post, post=end,
-                   probe_wait_s=0, pair=len(p.pairs) + 1))
-    valid, ceiling, stable = pair_valid(pre, mid, post, tol)
-    th_a, th_b = r_high["seconds"], r_high2["seconds"]
-    job_spread = round(max(th_a, th_b) / min(th_a, th_b), 4)
-    th_mean = (th_a + th_b) / 2
+    r_l1 = run_level(low, n)
+    s2 = sentinel(low, high)
+    p.observe(s2)
+    leg(low, r_l1, s1, s2)
+
+    highs, lows_j = [r_h1["seconds"]], [r_l1["seconds"]]
+    sents = [pre, s1, s2]
+    aborted = None
+    r_h2 = run_level(high, n)
+    s3 = sentinel(low, high)
+    p.observe(s3)
+    leg(high, r_h2, s2, s3)
+    highs.append(r_h2["seconds"])
+    sents.append(s3)
+    if spread(highs) > 1 + tol:
+        aborted = "t_high spread exceeded tol after leg 3"
+    else:
+        r_l2 = run_level(low, n)
+        s4 = sentinel(low, high)
+        p.observe(s4)
+        leg(low, r_l2, s3, s4)
+        lows_j.append(r_l2["seconds"])
+        sents.append(s4)
+        if spread(lows_j) > 1 + tol:
+            aborted = "t_low spread exceeded tol after leg 4"
+        else:
+            r_h3 = run_level(high, n)
+            s5 = sentinel(low, high)
+            p.observe(s5)
+            leg(high, r_h3, s4, s5)
+            highs.append(r_h3["seconds"])
+            sents.append(s5)
+
+    valid, ceiling, stable = pair_valid(pre, s1, s2, tol)
+    h_spread, l_spread = spread(highs), spread(lows_j)
+    # job instrument: certified only when BOTH sides' legs agree at
+    # the job's own clock, with the full five-leg bracket completed
+    job_valid = (len(highs) == 3 and len(lows_j) == 2
+                 and h_spread <= 1 + tol and l_spread <= 1 + tol)
     best_low = p.best()["low"]
-    clock_vs_best = round(min(pre["low"], mid["low"], post["low"])
-                          / best_low, 3) if best_low else None
+    clock_vs_best = round(min(s["low"] for s in sents) / best_low, 3) \
+        if best_low and best_low != float("inf") else None
     # each instrument certifies ITS OWN quantity, computable by any
     # reader from the published legs:
-    #  * the sentinel rule certifies the s0..s2 span, which covers
-    #    T_high(A) and T_low only → raw_s = (T_low/T_high_A)/k;
-    #  * the job bracket certifies that the machine state held from
-    #    T_high(A) through T_high(B) → raw_ab uses their mean.
+    #  * the sentinel rule certifies the pre..s2 span, which covers
+    #    T_high(A) and T_low(A) only → raw_s = (T_low_A/T_high_A)/k;
+    #  * the two-sided job bracket certifies every T_high and T_low
+    #    leg → raw_ab = (mean T_low / mean T_high)/k.
     # Mixing them (e.g. averaging a bracket leg into a sentinel-valid
     # pair whose own instrument never certified that leg) answers
     # neither question.
+    k = high / low
+    raw_s = round((lows_j[0] / highs[0]) / k, 3)
+    raw_ab = round(((sum(lows_j) / len(lows_j))
+                    / (sum(highs) / len(highs))) / k, 3)
     pair = dict(
-        t_low=r_low["seconds"], t_high=th_a, t_high2=th_b,
-        raw_s=round((r_low["seconds"] / th_a) / (high / low), 3),
-        raw_ab=round((r_low["seconds"] / th_mean) / (high / low), 3),
-        job_spread=job_spread, job_valid=job_spread <= 1 + tol,
-        s0=pre, s1=mid, s2=post, s3=end, valid=valid, ceiling=ceiling,
+        attempt=attempt,
+        t_low=lows_j[0], t_high=highs[0],
+        t_high2=highs[1] if len(highs) > 1 else None,
+        t_low2=lows_j[1] if len(lows_j) > 1 else None,
+        t_high3=highs[2] if len(highs) > 2 else None,
+        raw_s=raw_s, raw_ab=raw_ab,
+        job_spread=h_spread, job_spread_low=l_spread,
+        job_valid=job_valid, job_aborted=aborted,
+        s0=pre, s1=s1, s2=s2,
+        sents=sents, valid=valid, ceiling=ceiling,
         stable=stable, clock_vs_round_best=clock_vs_best)
-    pair["raw"] = pair["raw_ab"]  # back-compat field
+    # `raw` carries the value certified by the pair's OWN valid
+    # instrument (job bracket preferred — it certifies every leg);
+    # an invalid-both pair records raw=None (ADVICE r05: the old
+    # alias stored raw_ab even when only the sentinel graded valid)
+    pair["raw"] = (raw_ab if job_valid else raw_s if valid else None)
     p.add_pair(pair)
     print(json.dumps(dict(pair=len(p.pairs), **pair)), flush=True)
     return pair
@@ -373,7 +470,8 @@ def write_report(p: Protocol, n_clean: int, partial_note: str = "") -> None:
         "| {i} | local[{lv}] | {s} | {c} | {pl} / {ph} | {ql} / {qh} | {w} |"
         .format(
             i=i + 1, lv=g["level"], s=g["run"]["seconds"],
-            c="yes" if g["clean"] else "NO — discarded",
+            c=(("yes ⚠ other-level off" if g.get("xlevel_off")
+                else "yes") if g["clean"] else "NO — discarded"),
             pl=g["pre"]["low"], ph=g["pre"]["high"],
             ql=g["post"]["low"], qh=g["post"]["high"],
             w=g.get("probe_wait_s", "—"))
@@ -405,7 +503,9 @@ against its own depressed best.  Gating bests this round:
 {best['low']}s at {low}-way, {best['high']}s at {high}-way.  (The
 other level's reading is published for the record but does not gate:
 it measures a different turbo/contention regime and certifies nothing
-about this leg.)  Legs from loaded windows are discarded by protocol —
+about this leg.  A clean leg whose other-level readings sit >2×tol
+off round-best is flagged "⚠ other-level off" — kept, but the weaker
+cross-level bracket is visible.)  Legs from loaded windows are discarded by protocol —
 no after-the-fact normalization enters the headline number.  Before
 each leg launches, the window is probed with the same sentinel until
 it clears the gate (probe wait published per leg), so machine time is
@@ -455,7 +555,7 @@ def _raw_s(q, k):
 
 
 def _raw_ab(q, k):
-    if "t_high2" not in q:
+    if q.get("t_high2") is None:
         return None
     if "raw_ab" in q:
         return q["raw_ab"]
@@ -463,30 +563,43 @@ def _raw_ab(q, k):
     return round((q["t_low"] / mean) / k, 3)
 
 
+def _job_valid(q) -> bool:
+    """Two-sided job-bracket validity.  r05 pairs (no second T_low
+    leg) are re-graded INVALID under this instrument: their one-sided
+    bracket could not detect an inflating T_low spike (VERDICT r05
+    #1), whatever their stored job_valid flag says."""
+    return bool(q.get("job_valid")) and q.get("t_low2") is not None
+
+
 def _pairs_section(p: Protocol) -> str:
     low, high, tol = p.low, p.high, p.tol
     k = high / low
+
+    def sent_chain(q):
+        ss = q.get("sents") or [q[s] for s in ("s0", "s1", "s2")
+                                if s in q] + \
+            ([q["s3"]] if "s3" in q else [])
+        return " → ".join(f"{s['low']}/{s['high']}" for s in ss)
+
     rows = "\n".join(
-        "| {i} | {tl} | {th} | {th2} | **{rs}** | {rab} | {js} | {jv} | "
-        "{c} | {cvb} | {s0l}/{s0h} → {s1l}/{s1h} → {s2l}/{s2h}{s3} | "
-        "{v} |"
+        "| {i} | {tl} | {tl2} | {th} | {th2} | {th3} | **{rs}** | {rab} "
+        "| {jsh} | {jsl} | {jv} | {c} | {cvb} | {chain} | {v} |"
         .format(
-            i=i + 1, tl=q["t_low"], th=q["t_high"],
-            th2=q.get("t_high2", "—"),
+            i=i + 1, tl=q["t_low"], tl2=q.get("t_low2") or "—",
+            th=q["t_high"], th2=q.get("t_high2") or "—",
+            th3=q.get("t_high3") or "—",
             rs=_raw_s(q, k), rab=_raw_ab(q, k) or "—",
-            js=q.get("job_spread", "—"),
-            jv=("yes" if q.get("job_valid")
-                else "—" if "job_valid" not in q else "NO"),
+            jsh=q.get("job_spread", "—"),
+            jsl=q.get("job_spread_low", "—"),
+            jv=("yes" if _job_valid(q)
+                else "NO (one-sided r05 bracket)" if q.get("job_valid")
+                else "NO"),
             c=q["ceiling"], cvb=q.get("clock_vs_round_best", "—"),
-            s0l=q["s0"]["low"], s0h=q["s0"]["high"],
-            s1l=q["s1"]["low"], s1h=q["s1"]["high"],
-            s2l=q["s2"]["low"], s2h=q["s2"]["high"],
-            s3=(" → {}/{}".format(q["s3"]["low"], q["s3"]["high"])
-                if "s3" in q else ""),
+            chain=sent_chain(q),
             v="yes" if q["valid"] else "NO")
         for i, q in enumerate(p.pairs))
     sent_valid = [q for q in p.pairs if q["valid"]]
-    job_valid = [q for q in p.pairs if q.get("job_valid")]
+    job_valid = [q for q in p.pairs if _job_valid(q)]
 
     def fmt(raws):
         raws = sorted(raws)
@@ -496,11 +609,11 @@ def _pairs_section(p: Protocol) -> str:
     lines = []
     if sent_valid:
         lines.append(f"**{len(sent_valid)} sentinel-valid pair(s): "
-                     f"raw (T{low}/T{high}A)/{k:.0f} = "
+                     f"raw (T{low}A/T{high}A)/{k:.0f} = "
                      f"{fmt([_raw_s(q, k) for q in sent_valid])}.**")
     if job_valid:
         lines.append(f"**{len(job_valid)} job-bracket-valid pair(s): "
-                     f"raw (T{low}/mean T{high})/{k:.0f} = "
+                     f"raw (mean T{low}/mean T{high})/{k:.0f} = "
                      f"{fmt([_raw_ab(q, k) for q in job_valid])}.**")
     summary = ("\n".join(lines) if lines
                else "No pair has graded valid under either instrument "
@@ -509,33 +622,36 @@ def _pairs_section(p: Protocol) -> str:
 ## Uniform-window paired measurement (no normalization)
 
 Complementary evidence for the same criterion, taken when the host
-holds a STABLE clock that is below round-best: a local[{high}] leg and
-a local[{low}] leg run back to back, bracketed by three sentinel
-samples, then the local[{high}] leg REPEATED (A-B-A bracket).  Two
-independent validity instruments, both graded per pair, neither
+holds a STABLE clock that is below round-best: local[{high}] and
+local[{low}] legs interleaved T{high}–T{low}–T{high}–T{low}–T{high}
+(a TWO-SIDED job bracket), every leg flanked by sentinel samples.
+Two independent validity instruments, both graded per pair, neither
 adjusting any number:
 
 * **sentinel-valid** — the pure-CPU clock sentinel held through the
-  T{high}A→T{low} window (the three readings s0→s2 at each
+  T{high}A→T{low}A window (the three readings s0→s2 at each
   concurrency spread < {tol:.0%}) AND the within-pair clock ceiling
   (per-core sentinel speed at {high}-way vs {low}-way) is ≥ 0.97,
   i.e. neither leg pays a turbo differential the other doesn't.
-  This instrument certifies T{high}A and T{low}, so its quantity is
-  `raw (sentinel)` = (T{low}/T{high}A)/4;
-* **job-bracket-valid** — the two local[{high}] legs flanking the
-  local[{low}] leg agree within {tol:.0%} at the JOB's own clock
-  (`A-B spread`).  The python sentinel and the JVM pipeline
-  demonstrably decouple on this host (383–435 s legs under
-  near-identical sentinel readings), which is exactly why the job
-  bracket exists.  A transient spike during the T{low} leg can only
-  DEFLATE the measured efficiency; a spike during either T{high} leg
-  shows up as A-B spread — the bracket cannot inflate the number.
-  Its quantity is `raw (A-B-A)` = (T{low}/mean(T{high}A,B))/4.
+  This instrument certifies T{high}A and T{low}A, so its quantity is
+  `raw (sentinel)` = (T{low}A/T{high}A)/{k:.0f};
+* **job-bracket-valid** — ALL local[{high}] legs agree within
+  {tol:.0%} at the JOB's own clock (`T{high} spread`) AND BOTH
+  local[{low}] legs agree within {tol:.0%} (`T{low} spread`).  The
+  python sentinel and the JVM pipeline demonstrably decouple on this
+  host, which is why the job is its own clock.  The bracket covers
+  BOTH sides of the ratio because efficiency is (T{low}/T{high})/{k:.0f}:
+  interference during a T{low} leg INFLATES the number exactly as
+  interference during a T{high} leg deflates it, so a bracket that
+  repeated only the T{high} leg (the r05 shape, re-graded invalid in
+  this table) could not detect the inflating direction.  Its quantity
+  is `raw (job)` = (mean T{low} / mean T{high})/{k:.0f} over the
+  certified legs.
 
 Each instrument grades only the legs its own samples certify — a
-sentinel-valid pair does not average in the bracket leg (which runs
-AFTER the sentinel-certified s0..s2 span), and every number in the
-table is recomputable from the published legs.
+sentinel-valid pair does not average in bracket legs its span never
+covered — and every number in the table is recomputable from the
+published legs.
 
 Nothing is normalized: the absolute clock, whatever it is, is the
 same for all legs of a valid pair, so the raw ratio stands on its
@@ -548,8 +664,8 @@ slower than the round-best window).  Pair legs also appear in the
 merged table above with their real brackets, graded by the
 round-best gate like any other leg.
 
-| pair | T{low} (s) | T{high} A (s) | T{high} B (s) | raw (sentinel) | raw (A-B-A) | A-B spread | job valid | ceiling | clock slowdown × | sentinels s0 → s1 → s2 → s3 (c{low}/c{high}) | sentinel valid |
-| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
+| pair | T{low} A (s) | T{low} B (s) | T{high} A (s) | T{high} B (s) | T{high} C (s) | raw (sentinel) | raw (job) | T{high} spread | T{low} spread | job valid | ceiling | clock slowdown × | sentinels (c{low}/c{high}) | sentinel valid |
+| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |
 {rows}
 
 {summary}
@@ -646,8 +762,9 @@ def main():
                             for k in ("low", "high"))
                     and probe["low"] / probe["high"] >= 0.97):
                 slow = probe["low"] / p.best()["low"]
+                # five-leg two-sided bracket: 2×T_low + 3×T_high
                 if ((time.time() - t_start)
-                        + (est[low] + 2 * est[high]) * slow
+                        + (2 * est[low] + 3 * est[high]) * slow
                         <= budget * 1.15):
                     run_pair(p, probe)
                     write_report(p, n_clean)

@@ -88,16 +88,105 @@ def test_post_reading_gates_too(proto):
 
 
 def test_round_best_updates_retroactively_discard(proto):
-    # a later, faster sentinel reading lowers the round best and
-    # retroactively discards an earlier slower-window leg
+    # a later, faster sentinel reading — CORROBORATED by a second
+    # sample within tol — lowers the round best and retroactively
+    # discards an earlier slower-window leg
     p = proto()
     p.add_leg(leg(LOW, 3.0, 3.0, 3.0, 3.0))
-    p.add_leg(leg(LOW, 2.7, 3.0, 2.7, 3.0))
+    p.add_leg(leg(LOW, 2.7, 3.0, 2.7, 3.0))   # one fast post: pending
+    counts, best = p.gate()
+    assert best["low"] == 3.0                 # not yet corroborated
+    assert counts[LOW] == 2
+    p.observe({"low": 2.72, "high": 3.0})     # corroborating sample
     counts, best = p.gate()
     assert best["low"] == 2.7
     assert p.legs[0]["clean"] is False  # 3.0 > 2.7 * 1.05
     assert p.legs[1]["clean"] is True
     assert counts[LOW] == 1
+
+
+def test_uncorroborated_best_does_not_gate(proto):
+    # one anomalously fast sample must NOT permanently raise the gate
+    # (ADVICE r05): it stays pending until a second sample agrees
+    p = proto()
+    p.observe({"low": 3.0, "high": 3.0})
+    p.observe({"low": 2.0, "high": 3.0})      # lucky outlier
+    assert p.best()["low"] == 3.0
+    p.observe({"low": 2.8, "high": 3.0})      # disagrees: replaces pending
+    assert p.best()["low"] == 3.0
+    p.observe({"low": 2.82, "high": 3.0})     # agrees with 2.8 → promote
+    assert p.best()["low"] == 2.8
+
+
+def test_r05_one_sided_pairs_regraded_job_invalid(proto):
+    # an r05 pair record (T_high-T_low-T_high, no second T_low leg)
+    # may carry job_valid=True, but its one-sided bracket cannot
+    # detect an inflating T_low spike — re-graded invalid under the
+    # two-sided instrument; sentinel validity is untouched
+    p = proto()
+    old_pair = dict(t_low=1500.0, t_high=400.0, t_high2=410.0,
+                    raw_s=0.94, raw_ab=0.93, job_spread=1.025,
+                    job_valid=True, valid=False, ceiling=0.98,
+                    stable=True,
+                    s0={"low": 3.0, "high": 3.0},
+                    s1={"low": 3.0, "high": 3.0},
+                    s2={"low": 3.0, "high": 3.0})
+    p.add_pair(old_pair)
+    assert scaling._job_valid(old_pair) is False
+    assert p.valid_pairs() == []
+    new_pair = dict(old_pair, t_low2=1510.0, t_high3=405.0)
+    assert scaling._job_valid(new_pair) is True
+
+
+def test_run_pair_two_sided_bracket(proto, monkeypatch):
+    # the five-leg flow: both T_low legs and all three T_high legs
+    # must agree for job validity; the raw alias carries the value
+    # certified by the pair's own valid instrument
+    p = proto()
+    p.observe({"low": 3.0, "high": 3.0})
+    seq = {"low": [1520.0, 1500.0], "high": [400.0, 404.0, 402.0]}
+
+    def fake_run_level(cores, n_convs):
+        key = "low" if cores == LOW else "high"
+        return {"cores": cores, "seconds": seq[key].pop(0), "turns": 10}
+
+    monkeypatch.setattr(scaling, "run_level", fake_run_level)
+    monkeypatch.setattr(scaling, "sentinel",
+                        lambda lo, hi: {"low": 3.0, "high": 3.01})
+    pair = scaling.run_pair(p, {"low": 3.0, "high": 3.0})
+    assert pair["job_valid"] is True
+    assert pair["t_low2"] == 1500.0 and pair["t_high3"] == 402.0
+    # raw_ab = (mean T_low / mean T_high) / 4
+    exp = round(((1520.0 + 1500.0) / 2) / ((400 + 404 + 402) / 3) / 4, 3)
+    assert pair["raw_ab"] == exp
+    assert pair["raw"] == exp          # certified by the job bracket
+    assert len(p.legs) == 5
+    assert all(g["pair"] == pair["attempt"] for g in p.legs)
+
+
+def test_run_pair_aborts_on_low_spread(proto, monkeypatch):
+    # a T_low disagreement kills the job instrument (this is exactly
+    # the inflating direction the r05 bracket missed) — the pair is
+    # finalized early, job-invalid, and raw falls back to the
+    # sentinel instrument if that graded valid
+    p = proto()
+    p.observe({"low": 3.0, "high": 3.0})
+    seq = {"low": [1500.0, 1900.0], "high": [400.0, 401.0, 999.0]}
+
+    def fake_run_level(cores, n_convs):
+        key = "low" if cores == LOW else "high"
+        return {"cores": cores, "seconds": seq[key].pop(0), "turns": 10}
+
+    monkeypatch.setattr(scaling, "run_level", fake_run_level)
+    monkeypatch.setattr(scaling, "sentinel",
+                        lambda lo, hi: {"low": 3.0, "high": 3.0})
+    pair = scaling.run_pair(p, {"low": 3.0, "high": 3.0})
+    assert pair["job_valid"] is False
+    assert pair["job_aborted"]
+    assert pair["t_high3"] is None     # fifth leg never ran
+    assert seq["high"] == [999.0]
+    assert pair["valid"] is True       # sentinel instrument held
+    assert pair["raw"] == pair["raw_s"]
 
 
 def test_both_levels_counted_independently(proto):
