@@ -120,69 +120,93 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
 
     r06 physical shape: shingles are built JVM-side (so tokenize/
     shingle string semantics stay byte-identical to the SQL twin), and
-    the hashing runs VECTOR-AT-A-TIME in ``mapInArrow`` with hashlib
-    (guide §4.2).  Two reasons this beats the r05 all-JVM projection,
-    measured at sf1.0 (26.8s → see BENCH.md):
-      * Spark evaluated the md5 SIXTEEN times per shingle row — codegen
-        subexpression elimination did not unify the two substring
-        consumers of each digest (profiled: 8 explicit md5 columns cost
-        11.8s, the 16-hash projection 26.1s);
-      * hashlib can hash the shared shingle PREFIX once and fork the
-        8 suffix digests with ``.copy()`` — a ~8× hash-work reduction
-        no JVM expression can express.
+    the hashing runs ONE-PASS in ``mapInArrow`` (guide §4.2) with a
+    per-task shingle→hashes MEMO.  Three multipliers over the r05
+    all-JVM projection (26.8s at sf1.0):
+      * a shingle shared by D documents in a task is hashed ONCE, not
+        D times — shingle frequency is Zipf on any real corpus
+        (measured here: ~21k distinct vs ~40k instances per task), and
+        repeated instances cost one dict probe instead of k/2 md5s;
+      * hashlib hashes the shared shingle PREFIX once and forks the
+        k/2 suffix digests with ``.copy()`` — a ~8× hash-work
+        reduction no JVM expression can express;
+      * the per-doc element-wise min runs as ONE numpy reduction over
+        the doc's stacked hash rows, not k Python comparisons per
+        shingle instance.
+    A global distinct-shingle variant (distinct → hash → join back →
+    groupBy min) was measured SLOWER here (4.7s vs 2s signature): it
+    plans the tokenize/shingle subtree twice and adds two shuffles,
+    which dwarfs the md5 saving.  The memo is capped (cleared at 2^20
+    entries) so executor memory stays bounded at corpus scale; this
+    stage remains shuffle-free — the only exchange in the whole LSH
+    query is the band-bucket groupBy downstream.
+
     Identical values: md5 over the same UTF-8 bytes, same '#i'
-    suffixes, same 60-bit hex slices (big-endian bytes >> 4), same min.
+    suffixes, same 60-bit slices (big-endian bytes >> 4), same min.
     A null-shingle doc (null text) drops out exactly as the exploded
     form dropped it.  ``id`` is declared long (every corpus id here
     is); the signature schema is otherwise caller-invisible."""
-    toks = docs.select(F.col(id_col).alias("id"),
-                       T.word_tokens(text_col).alias("toks"))
-    shs = toks.select("id", T.shingles_from("toks", w).alias("shs"))
-    # hashing is CPU-bound Python: re-spread a small scan (the 8 MB
-    # local splits leave ~8 tasks at bench scale) up to the cluster's
-    # parallelism.  At 100 TB the scan already exceeds parallelism ×
-    # maxPartitionBytes and this is a no-op.
-    par = docs.sparkSession.sparkContext.defaultParallelism * 2
-    if shs.rdd.getNumPartitions() < par:
-        shs = shs.repartition(par)
     n_dig = (k + 1) // 2
     suffixes = [f"#{i}".encode() for i in range(n_dig)]
 
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    # tokenize/shingle/hash are CPU-bound: re-spread a small scan (the
+    # 8 MB local splits leave 1-2 tasks at bench scale) up to the
+    # cluster's parallelism BEFORE any compute projection — an
+    # exchange above the projections would leave the per-position
+    # slice/concat work serialized on the scan partitions (measured:
+    # 3.5s single-task vs 0.6s spread at sf1.0).  At 100 TB the scan
+    # already exceeds parallelism × maxPartitionBytes and this is a
+    # no-op.
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    # two projections: tokenize ONCE into a real column, then shingle —
+    # embedding the regex split inside the shingle lambda re-evaluates
+    # it per position (quadratic; see doc_shingles)
+    toks = base.select("id", T.word_tokens(text_col).alias("toks"))
+    shs = toks.select("id", T.shingles_from("toks", w).alias("shs"))
+
     def fn(batches):
         from hashlib import md5
+        import numpy as np
         import pyarrow as pa
+        memo: dict = {}
+
+        def hash_of(s):
+            v = memo.get(s)
+            if v is None:
+                m0 = md5(s.encode("utf-8"))
+                v = np.empty(k, np.int64)
+                for i, suf in enumerate(suffixes):
+                    m = m0.copy()
+                    m.update(suf)
+                    d = m.digest()
+                    j = 2 * i
+                    v[j] = int.from_bytes(d[:8], "big") >> 4
+                    if j + 1 < k:
+                        v[j + 1] = int.from_bytes(d[8:16], "big") >> 4
+                if len(memo) >= (1 << 20):
+                    memo.clear()
+                memo[s] = v
+            return v
+
         for b in batches:
             ids = b.column(0).to_pylist()
             shingle_lists = b.column(1).to_pylist()
             out_ids = []
-            mins: list[list[int]] = [[] for _ in range(k)]
+            out_rows = []
             for rid, shingles in zip(ids, shingle_lists):
                 if not shingles:
                     continue
-                best = [None] * k
-                for s in shingles:
-                    m0 = md5(s.encode("utf-8"))
-                    for i, suf in enumerate(suffixes):
-                        m = m0.copy()
-                        m.update(suf)
-                        d = m.digest()
-                        j = 2 * i
-                        h = int.from_bytes(d[:8], "big") >> 4
-                        if best[j] is None or h < best[j]:
-                            best[j] = h
-                        j += 1
-                        if j < k:
-                            h = int.from_bytes(d[8:16], "big") >> 4
-                            if best[j] is None or h < best[j]:
-                                best[j] = h
                 out_ids.append(rid)
-                for j in range(k):
-                    mins[j].append(best[j])
+                out_rows.append(np.min(
+                    np.stack([hash_of(s) for s in shingles]), axis=0))
             if out_ids:
+                mat = np.stack(out_rows)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(out_ids, type=pa.int64())]
-                    + [pa.array(mins[j], type=pa.int64())
-                       for j in range(k)],
+                    + [pa.array(mat[:, j]) for j in range(k)],
                     ["id"] + [f"h{j}" for j in range(k)])
 
     schema = "id long, " + ", ".join(f"h{j} long" for j in range(k))
