@@ -378,20 +378,25 @@ def mon_classifier_cols(mons: DataFrame) -> DataFrame:
     bias = (F.col("ev_atk") + F.col("ev_spa") - F.col("ev_hp")
             - F.col("ev_def") - F.col("ev_spd"))
 
-    out = (mons
-           .withColumn("stalliness", stalliness)
-           .withColumn("bias", bias.cast("long")))
+    # BATCHED withColumns: eager per-call analysis of these wide
+    # literal-set trees cost whole driver-seconds per pipeline build
+    # (see enrich.with_cutoff_weights)
+    out = mons.withColumns({"stalliness": stalliness,
+                            "bias": bias.cast("long")})
 
     # weather points — tag() lines 226-251: ability setter = 2, move
     # setter = 2 with the matching rock item else 1
-    for w in ("rain", "sun", "sand", "hail"):
+    def weather_pts(w: str) -> F.Column:
         ability_pts = F.when(
             _in("ability", A.get(f"flag_weather_{w}", ())), 2).otherwise(0)
         move_pts = F.when(
             _mask_test(f"w_{w}"),
             F.when(_in("item", I.get(f"flag_rock_{w}", ())), 2).otherwise(1)
         ).otherwise(0)
-        out = out.withColumn(f"w_{w}", ability_pts + move_pts)
+        return ability_pts + move_pts
+
+    out = out.withColumns({f"w_{w}": weather_pts(w)
+                           for w in ("rain", "sun", "sand", "hail")})
 
     ind = {
         # tag() lines 253-257
@@ -419,9 +424,8 @@ def mon_classifier_cols(mons: DataFrame) -> DataFrame:
                      & ~_in("ability", A.get("flag_klutz", ()))),
         "i_swagplay": has_role("foulplay") | has_role("swagger"),
     }
-    for name, col in ind.items():
-        out = out.withColumn(name, col.cast("int"))
-    return out
+    return out.withColumns({name: col.cast("int")
+                            for name, col in ind.items()})
 
 
 _COUNTERS = ["i_batonpass", "i_tailwind", "i_trickroom", "i_slow",

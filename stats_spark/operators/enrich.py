@@ -179,21 +179,18 @@ def with_effective_rating(df: DataFrame) -> DataFrame:
     valid provided rating (drives the `saved` counters + GXE)."""
     valid = (F.col("rpr").isNotNull() & F.col("rprd").isNotNull()
              & (F.col("rprd") != 0))
-    return (df
-            .withColumn("rating_valid", valid)
-            .withColumn("eff_rpr",
-                        F.when(valid, F.col("rpr"))
-                         .when(F.col("outcome") == 1, F.lit(WIN_RPR))
-                         .when(F.col("outcome") == -1, F.lit(LOSS_RPR))
-                         .otherwise(F.lit(DEFAULT_RPR)))
-            .withColumn("eff_rprd",
-                        F.when(valid, F.col("rprd"))
-                         .when(F.col("outcome") != 0, F.lit(OUTCOME_RPRD))
-                         .otherwise(F.lit(DEFAULT_RPRD)))
-            .withColumn("gxe",
-                        F.when(F.col("rpr").isNotNull()
-                               & F.col("rprd").isNotNull(),
-                               gxe_expr("rpr", "rprd"))))
+    return df.withColumns({
+        "rating_valid": valid,
+        "eff_rpr": (F.when(valid, F.col("rpr"))
+                     .when(F.col("outcome") == 1, F.lit(WIN_RPR))
+                     .when(F.col("outcome") == -1, F.lit(LOSS_RPR))
+                     .otherwise(F.lit(DEFAULT_RPR))),
+        "eff_rprd": (F.when(valid, F.col("rprd"))
+                      .when(F.col("outcome") != 0, F.lit(OUTCOME_RPRD))
+                      .otherwise(F.lit(DEFAULT_RPRD))),
+        "gxe": F.when(F.col("rpr").isNotNull()
+                      & F.col("rprd").isNotNull(),
+                      gxe_expr("rpr", "rprd"))})
 
 
 def enrich_mons(sides: DataFrame, spark) -> DataFrame:
@@ -224,12 +221,14 @@ def enrich_mons(sides: DataFrame, spark) -> DataFrame:
             .drop("bsp_id")
             .join(nat, "nature", "left"))
 
-    for s in statcalc.STATS:
-        mons = mons.withColumn(
-            f"stat_{s}",
-            statcalc.calc_stat(s, F.col(f"b_{s}"), F.col(f"iv_{s}"),
-                               F.col(f"ev_{s}"), F.col("level"),
-                               F.col("plus"), F.col("minus")))
+    # BATCHED withColumns: the calc_stat/stat_to_ev CASE trees are
+    # large, and eager per-withColumn analysis of them cost whole
+    # driver-seconds per pipeline build (see with_cutoff_weights)
+    mons = mons.withColumns({
+        f"stat_{s}": statcalc.calc_stat(
+            s, F.col(f"b_{s}"), F.col(f"iv_{s}"), F.col(f"ev_{s}"),
+            F.col("level"), F.col("plus"), F.col("minus"))
+        for s in statcalc.STATS})
     # spread string "Nature:ev/.../ev" with EVs canonicalized through
     # the stat round-trip — stats.ts:391-412
     ev_cols = [
@@ -238,13 +237,11 @@ def enrich_mons(sides: DataFrame, spark) -> DataFrame:
                             F.col("plus"), F.col("minus")).cast("long")
         for s in statcalc.STATS
     ]
-    mons = (mons
-            .withColumn("spread",
-                        F.concat(F.initcap("nature"), F.lit(":"),
-                                 F.concat_ws("/", *ev_cols)))
-            .withColumn("stats_str",
-                        F.concat_ws("/", *[F.col(f"stat_{s}").cast("long")
-                                           for s in statcalc.STATS])))
+    mons = mons.withColumns({
+        "spread": F.concat(F.initcap("nature"), F.lit(":"),
+                           F.concat_ws("/", *ev_cols)),
+        "stats_str": F.concat_ws("/", *[F.col(f"stat_{s}").cast("long")
+                                        for s in statcalc.STATS])})
 
     from stats_spark.operators import classifier
     return classifier.mon_classifier_cols(mons)
@@ -302,15 +299,19 @@ def with_cutoff_weights(df: DataFrame,
     # weights re-emits its (rpr-cutoff)/rprd/sqrt(2) subtree at ~30
     # erf sites and the projection exceeds janino's 64 KB doConsume
     # limit — the whole wide-weight stage then ran INTERPRETED (r06;
-    # the same defect class as VERDICT r05's binary-decode finding)
-    for i in range(N_CUTOFFS):
-        df = df.withColumn(f"cutoff_{i}", F.col("_cuts").getItem(i))
-    for i in range(N_CUTOFFS):
-        df = df.withColumn(f"_wx_{i}", weighting_arg_expr(
-            "eff_rpr", "eff_rprd", f"cutoff_{i}"))
-    for i in range(N_CUTOFFS):
-        df = df.withColumn(f"w_{i}", weighting_expr_from_arg(
-            f"_wx_{i}", "eff_rprd", f"cutoff_{i}"))
+    # the same defect class as VERDICT r05's binary-decode finding).
+    # Three BATCHED withColumns (not 12 withColumn calls): PySpark
+    # analyzes the whole upstream tree eagerly per call, and with the
+    # ~30-site erf trees that driver-side analysis alone cost ~1.8 s
+    # per pipeline build (guide §5: the driver should do no heavy
+    # work).  Batches stay separate because each references columns
+    # the previous batch created.
+    df = df.withColumns({f"cutoff_{i}": F.col("_cuts").getItem(i)
+                         for i in range(N_CUTOFFS)})
+    df = df.withColumns({f"_wx_{i}": weighting_arg_expr(
+        "eff_rpr", "eff_rprd", f"cutoff_{i}") for i in range(N_CUTOFFS)})
+    df = df.withColumns({f"w_{i}": weighting_expr_from_arg(
+        f"_wx_{i}", "eff_rprd", f"cutoff_{i}") for i in range(N_CUTOFFS)})
     return df.drop("_cuts", *[f"_wx_{i}" for i in range(N_CUTOFFS)])
 
 

@@ -340,6 +340,22 @@ def resolve_materialize(master: str, materialize: str) -> str:
     return "cache" if single_jvm else "stage"
 
 
+def _parquet_rows(path: str) -> int:
+    """Exact row count of a just-written parquet tree from the file
+    FOOTERS, driver-side — the sink pool used to launch a Spark count
+    job per sink for this (12 jobs, ~0.5-0.9 s each at bench scale;
+    a footer sum is ~20 ms and reads no data pages).  Counting our own
+    freshly-committed output is driver-scale metadata work at any
+    corpus size: one footer per file the write itself just created."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                                   recursive=True))
+
+
 SINKS = ["usage", "usage_tagged", "usage_totals", "moveset", "teammates",
          "encounters", "leads", "battle_counts", "metagame", "stalliness",
          "viability"]
@@ -435,7 +451,7 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                     else ("format",))
             path = tables.write_routed(df, out_dir, sink,
                                        partition_cols=part)
-            rows = spark.read.parquet(path).count() if count_rows else -1
+            rows = _parquet_rows(path) if count_rows else -1
             m = dict(partition=sink, path=path, rows=rows,
                      seconds=round(time.time() - ts, 2), skipped=False)
             # per-sink lineage commit — a killed run resumes from here
@@ -460,6 +476,12 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                     overlap_metrics.extend(
                         p.map(lambda s: write_df(s, frames_bw[s]), subs))
 
+        # mat_gate[sink]() blocks until the cache that sink consumes is
+        # materialized (cache mode only; staged mode materializes
+        # everything before the pool starts, so no gates are needed)
+        mat_gate: dict = {}
+        mat_pool = bw_future = None
+        mat_done: dict = {}
         if materialize == "stage":
             # staged path: build_frames writes the shared intermediates
             # to parquet eagerly; t_cache below is the staging time
@@ -468,24 +490,57 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                                   stage_dir=os.path.join(out_dir,
                                                          "_stage"),
                                   on_battles_w=on_bw)
+            t_cache = time.time() - t1
         else:
             frames = build_frames(spark, battles, cutoffs, cache=True)
-            # materialize the shared cached intermediates once, up
-            # front — the parallel sink writers then all hit the cache
-            # instead of racing to compute it.  The first-level caches
-            # (mons, side_class) build serially since everything
-            # depends on them; the three ×cutoff caches then
-            # materialize CONCURRENTLY
-            for df in frames["_cached"][:2]:
+            # PIPELINED materialization: the sink pool starts
+            # immediately and each sink gates on the future of the ONE
+            # cache it consumes, so sinks launch the moment their
+            # input is live instead of behind an all-cache barrier
+            # (the barrier idled the pool for the whole second-level
+            # build, ~6 s at bench scale).  The first-level caches
+            # (mons, side_class) still build serially — everything
+            # downstream depends on them — then mons_w and sides_w
+            # materialize concurrently.  battles_w and its three sinks
+            # depend only on the battles checkpoint, so they run from
+            # the first second, back-filling the cores the serial
+            # cache builds leave idle.  FIFO job scheduling interleaves
+            # it all; each cache is counted exactly once by its own
+            # future, so no sink ever computes uncached partitions.
+            (mons_c, side_c, mons_w_c, sides_w_c,
+             battles_w_c) = frames["_cached"]
+            mat_pool = ThreadPoolExecutor(max_workers=4)
+
+            def mat_base():
+                mons_c.count()
+                side_c.count()
+                mat_done["base"] = time.time()
+
+            base_fut = mat_pool.submit(mat_base)
+
+            def after_base(df, key):
+                base_fut.result()
                 df.count()
-            rest = frames["_cached"][2:]
-            if rest:
-                with ThreadPoolExecutor(max_workers=len(rest)) as pool:
-                    list(pool.map(lambda d: d.count(), rest))
-        t_cache = time.time() - t1
+                mat_done[key] = time.time()
+
+            mons_w_fut = mat_pool.submit(after_base, mons_w_c, "mons_w")
+            sides_w_fut = mat_pool.submit(after_base, sides_w_c,
+                                          "sides_w")
+
+            def _bw_overlap():
+                if not any(s in todo for s in BW_SINKS):
+                    return  # nothing consumes battles_w this run
+                battles_w_c.count()  # materialize the battles_w cache
+                mat_done["battles_w"] = time.time()
+                on_bw(battles_w_c)
+
+            bw_future = mat_pool.submit(_bw_overlap)
+            for s in ("usage_tagged", "usage", "usage_totals",
+                      "moveset", "viability"):
+                mat_gate[s] = mons_w_fut.result
+            for s in ("teammates", "metagame", "stalliness"):
+                mat_gate[s] = sides_w_fut.result
         t2 = time.time()
-        metrics += overlap_metrics
-        written = {m["partition"] for m in overlap_metrics}
 
         # the usage family chains off ONE aggregation: usage_tagged's
         # 'total' shard IS usage_by_species column-for-column (the tag
@@ -497,6 +552,8 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         def write_usage_chain() -> list[dict]:
             out = []
             ut_path = os.path.join(out_dir, "usage_tagged")
+            if "usage_tagged" in mat_gate:
+                mat_gate["usage_tagged"]()
             if "usage_tagged" in todo:
                 out.append(write_df("usage_tagged", frames["usage_tagged"]))
             if "usage" in todo:
@@ -523,8 +580,8 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
             rpath = os.path.join(out_dir, "rejects")
             rej.write.mode("overwrite").parquet(rpath)
             m = dict(partition="rejects", path=rpath,
-                     rows=rej.count() if count_rows else -1, seconds=0.0,
-                     skipped=False)
+                     rows=_parquet_rows(rpath) if count_rows else -1,
+                     seconds=0.0, skipped=False)
             tables.write_lineage(spark, out_dir, "stats_pipeline", [m])
             return [m]
 
@@ -536,15 +593,25 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
         # it, then the heavy single sinks, so the pool's tail is the
         # small cheap jobs.
         HEAVY = ("moveset", "teammates", "viability")
+        # the battles_w sinks are written by the overlap path (on_bw /
+        # _bw_overlap) in BOTH modes — never by the pool
+        overlap_handled = {s for s in BW_SINKS if s in todo}
         plain = sorted((s for s in todo
-                        if s not in written and s not in USAGE_CHAIN),
+                        if s not in overlap_handled
+                        and s not in USAGE_CHAIN),
                        key=lambda s: s not in HEAVY)
+        def write_sink(s: str) -> list[dict]:
+            gate = mat_gate.get(s)
+            if gate is not None:
+                gate()  # wait for this sink's input cache (cache mode)
+            return [write_df(s, frames[s])]
+
         tasks = []
         if any(s in todo for s in USAGE_CHAIN):
             tasks.append(write_usage_chain)
         if "rejects" not in done:
             tasks.append(write_rejects)
-        tasks += [lambda s=s: [write_df(s, frames[s])] for s in plain]
+        tasks += [lambda s=s: write_sink(s) for s in plain]
 
         # the sinks are many *small* jobs — submit them concurrently so
         # scheduling overhead overlaps and the executors stay saturated
@@ -557,9 +624,21 @@ def run_pipeline(spark: SparkSession, corpus_paths: dict, out_dir: str,
                                    // 4))
         width = int(os.environ.get("STATS_SPARK_SINK_POOL",
                                    str(default_width)))
-        with ThreadPoolExecutor(max_workers=width) as pool:
-            for out in pool.map(lambda fn: fn(), tasks):
-                metrics += out
+        try:
+            with ThreadPoolExecutor(max_workers=width) as pool:
+                for out in pool.map(lambda fn: fn(), tasks):
+                    metrics += out
+            if bw_future is not None:
+                bw_future.result()  # surface overlap errors, join writes
+        finally:
+            if mat_pool is not None:
+                mat_pool.shutdown(wait=False, cancel_futures=True)
+        metrics += overlap_metrics
+        if materialize != "stage":
+            # cache materialization overlaps the sink pool by design;
+            # t_cache is the span until the LAST cache went live
+            t_cache = ((max(mat_done.values()) - t1)
+                       if mat_done else time.time() - t1)
         t_sinks = time.time() - t2
     if "rejects" in done:
         metrics.append(dict(partition="rejects",
