@@ -64,13 +64,27 @@ def exact_dups(docs: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") > 1))
 
 
+def _respread(df: DataFrame) -> DataFrame:
+    """Re-spread a compact scan up to cluster parallelism BEFORE the
+    CPU-heavy tokenize/shingle/hash projections — an exchange above
+    them would leave that work serialized on the 1-2 scan partitions a
+    small parquet yields under the 8 MB local splits.  At 100 TB the
+    scan already exceeds parallelism × maxPartitionBytes and this is a
+    no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", w: int = 3) -> DataFrame:
     # two projections: tokenize ONCE into a real column, then shingle —
     # embedding the regex split inside the shingle lambda re-evaluates
     # it per position (quadratic; measured 6s -> <1s at sf0.1)
-    toks = docs.select(F.col(id_col).alias("id"),
-                       T.word_tokens(text_col).alias("toks"))
+    toks = _respread(docs.select(F.col(id_col).alias("id"),
+                                 F.col(text_col))) \
+        .select("id", T.word_tokens(text_col).alias("toks"))
     return toks.select("id",
                        F.explode(T.shingles_from("toks", w)).alias("sh"))
 
@@ -149,21 +163,13 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     n_dig = (k + 1) // 2
     suffixes = [f"#{i}".encode() for i in range(n_dig)]
 
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
-    # tokenize/shingle/hash are CPU-bound: re-spread a small scan (the
-    # 8 MB local splits leave 1-2 tasks at bench scale) up to the
-    # cluster's parallelism BEFORE any compute projection — an
-    # exchange above the projections would leave the per-position
-    # slice/concat work serialized on the scan partitions (measured:
-    # 3.5s single-task vs 0.6s spread at sf1.0).  At 100 TB the scan
-    # already exceeds parallelism × maxPartitionBytes and this is a
-    # no-op.
-    par = docs.sparkSession.sparkContext.defaultParallelism * 2
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    # two projections: tokenize ONCE into a real column, then shingle —
-    # embedding the regex split inside the shingle lambda re-evaluates
-    # it per position (quadratic; see doc_shingles)
+    # re-spread BEFORE the compute projections (see _respread; measured
+    # 3.5s single-task vs 0.6s spread for the shingle build at sf1.0),
+    # then two projections: tokenize ONCE into a real column, then
+    # shingle — embedding the regex split inside the shingle lambda
+    # re-evaluates it per position (quadratic; see doc_shingles)
+    base = _respread(docs.select(F.col(id_col).alias("id"),
+                                 F.col(text_col)))
     toks = base.select("id", T.word_tokens(text_col).alias("toks"))
     shs = toks.select("id", T.shingles_from("toks", w).alias("shs"))
 
@@ -256,9 +262,11 @@ def simhash64(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over word tokens: per bit position, sign of
     Σ(±1) across token hashes.  One explode + one groupBy."""
-    toks = (docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.array_distinct(T.word_tokens(text_col)))
-                         .alias("tok"))
+    toks = (_respread(docs.select(F.col(id_col).alias("id"),
+                                  F.col(text_col)))
+            .select("id",
+                    F.explode(F.array_distinct(T.word_tokens(text_col)))
+                     .alias("tok"))
             .withColumn("h", T.md5_long("tok")))
     # one sum per bit position in a SINGLE groupBy over the token rows —
     # no 60× bit-explode (the row inflation the naive formulation pays)

@@ -24,11 +24,24 @@ def dot(a, b):
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _respread(df: DataFrame) -> DataFrame:
+    """Re-spread a compact scan up to cluster parallelism BEFORE the
+    CPU-heavy norm/plane-projection work: a small embeddings parquet
+    packs into 1-2 scan splits under the 8 MB local split size, and
+    every pre-shuffle projection (norms, per-band dot products,
+    scoring) would otherwise run single-task.  At 100 TB the scan
+    exceeds parallelism × maxPartitionBytes and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def with_norm(emb: DataFrame, vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return emb.select(F.col(id_col).alias("id"), v.alias("vec")) \
-              .withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    return _respread(emb.select(F.col(id_col).alias("id"), v.alias("vec"))) \
+        .withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
 
 
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -99,7 +112,8 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  pa.array(cos[keep], type=pa.float64())],
                 ["q_id", "id", "cosine_raw"])
 
-    scored = (emb.select(F.col(id_col).alias("id"), F.col(vec_col))
+    scored = (_respread(emb.select(F.col(id_col).alias("id"),
+                                   F.col(vec_col)))
               .mapInArrow(fn, out_schema)
               .withColumn("cosine", F.round("cosine_raw", 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("id"))
